@@ -1,0 +1,44 @@
+"""Pipeline configuration.
+
+Every threshold mirrors a validation gate or default of the reference
+(cited per field); values are recast from pixels to characters/blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Knobs of the extraction pipeline (reference gates, recast 2-D -> 1-D).
+
+    Character/block analogs of the reference input envelope:
+      * ``min_payload_chars`` / ``max_payload_chars``: page-size gate
+        (reference ``ocropus-nlbin:61-69`` rejects pages <600 or >10000 px).
+      * ``max_blocks``: lines-per-page gate (``ocropus-gpageseg:432-434``,
+        --maxlines 300).
+      * ``noise_min_chars``: speckle removal (``ocrolib/common.py:861-869``
+        remove_noise minsize).
+      * ``max_link_density``: boilerplate threshold — the binarization
+        threshold analog (``ocropus-nlbin`` --threshold 0.5).
+      * ``content_threshold``: classifier decision threshold, the CTC
+        blank-threshold analog (``ocrolib/lstm.py:741-753`` thresholds the
+        blank class at 0.7 before run decoding).
+    """
+
+    min_payload_chars: int = 20
+    max_payload_chars: int = 1_000_000
+    max_blocks: int = 300
+    noise_min_chars: int = 8
+    max_link_density: float = 0.5
+    content_threshold: float = 0.5
+    classifier: str = "rule"  # "rule" | "logistic"
+    normalize: bool = True
+
+    # Spark-side knobs
+    salt_buckets: int = 64           # salted repartition buckets (north_rule skew)
+    arrow_batch_rows: int = 512      # cap Arrow batch size on fat payloads
+
+
+DEFAULT_CONFIG = ExtractConfig()

@@ -1,0 +1,120 @@
+"""Per-block content-vs-boilerplate classification (reference L1-L12 analog).
+
+The reference runs a bidirectional LSTM over each text line and CTC-decodes
+runs of non-blank frames into characters (``/root/reference/ocrolib/
+lstm.py:879-884`` ``SeqRecognizer.predictString``, ``:741-753``
+``translate_back``). The graft's per-block classifier plays the same role:
+block features -> score in [0,1] -> threshold decode -> label.
+
+Two scorers:
+  * ``rule``      — deterministic heuristics (the ground-truth oracle path)
+  * ``logistic``  — numpy logistic layer over the same features
+    (``ocrolib/lstm.py:243-300`` ``Logreg``/``Softmax`` analog), weights
+    broadcast per executor in the Spark layer.
+
+Features are computed vectorized over all blocks of a batch (numpy), not
+per block — the "fully vectorized inside each item" design the reference
+states at ``ocrolib/lstm.py:8-12``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.kernels.segment import Block
+
+_WORD_RE = re.compile(r"[A-Za-z][A-Za-z']*")
+_DIGIT_RE = re.compile(r"[0-9]")
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+
+# Tiny function-word list for the stopword-ratio feature (language-ID
+# heuristics use a larger table in operators/textstats.py).
+STOPWORDS = frozenset(
+    """the a an and or of to in is are was were be been it this that for with
+    as on at by from not but if then than so we you they he she i""".split()
+)
+
+FEATURE_NAMES = (
+    "log_len", "link_density", "boiler", "stopword_ratio",
+    "punct_per_word", "digit_ratio", "mean_word_len", "is_heading",
+)
+
+
+def block_features(blocks: list[Block]) -> np.ndarray:
+    """(n_blocks, n_features) float64 feature matrix (L1/L2 analog:
+    per-block normalization into a fixed-width feature frame)."""
+    n = len(blocks)
+    X = np.zeros((n, len(FEATURE_NAMES)), dtype=np.float64)
+    for i, b in enumerate(blocks):
+        text = b.visible.strip()
+        nv = max(1, len(text))
+        words = _WORD_RE.findall(text.lower())
+        nw = max(1, len(words))
+        nstop = sum(1 for w in words if w in STOPWORDS)
+        X[i, 0] = np.log1p(len(text))
+        X[i, 1] = b.link_density
+        X[i, 2] = 1.0 if b.boiler else 0.0
+        X[i, 3] = nstop / nw
+        X[i, 4] = len(_PUNCT_RE.findall(text)) / nw
+        X[i, 5] = len(_DIGIT_RE.findall(text)) / nv
+        X[i, 6] = float(np.mean([len(w) for w in words])) if words else 0.0
+        X[i, 7] = 1.0 if b.kind in ("h1", "h2", "h3", "h4", "h5", "h6", "title") else 0.0
+    return X
+
+
+# Hand-set logistic weights over FEATURE_NAMES (+bias). Chosen so the
+# decision agrees with the rule scorer on the synthetic grammar; the
+# training job (operators/train.py) can refit them.
+LOGISTIC_WEIGHTS = np.array(
+    [0.9,    # log_len: longer -> more content-like
+     -6.0,   # link_density
+     -8.0,   # boiler container
+     2.5,    # stopword_ratio: prose marker
+     0.8,    # punct_per_word
+     -1.5,   # digit_ratio
+     0.2,    # mean_word_len
+     1.0],   # heading
+    dtype=np.float64,
+)
+LOGISTIC_BIAS = -2.2
+
+
+def logistic_scores(X: np.ndarray, weights: np.ndarray | None = None,
+                    bias: float | None = None) -> np.ndarray:
+    """Sigmoid(X @ w + b) — the Logreg layer (L7)."""
+    w = LOGISTIC_WEIGHTS if weights is None else weights
+    b = LOGISTIC_BIAS if bias is None else bias
+    z = X @ w + b
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
+                    weights: np.ndarray | None = None,
+                    bias: float | None = None) -> list[Block]:
+    """Label each block content/boilerplate/noise in place and return them.
+
+    Decode rule (L8 ``translate_back`` analog): score is thresholded at
+    ``config.content_threshold``; noise blocks (below ``noise_min_chars``)
+    are the speckle class and never content (P5).
+    """
+    if not blocks:
+        return blocks
+    X = block_features(blocks)
+    scores = logistic_scores(X, weights, bias)
+    for b, sc in zip(blocks, scores):
+        b.score = float(sc)
+        if b.n_visible < config.noise_min_chars:
+            b.label = "noise"
+        elif config.classifier == "logistic":
+            b.label = "content" if sc >= config.content_threshold else "boilerplate"
+        else:  # rule mode: deterministic ground truth by construction
+            if b.boiler:
+                b.label = "boilerplate"
+            elif b.link_density > config.max_link_density:
+                b.label = "boilerplate"
+            else:
+                b.label = "content"
+    return blocks

@@ -1,0 +1,117 @@
+"""The fused extraction chain + single-process reference oracle.
+
+``extract_turn`` is the complete per-turn pipeline (the analog of running
+nlbin -> gpageseg -> rpred -> hocr on one page): validation gates ->
+segmentation -> classification -> reassembly. ``extract_frame`` applies it
+over a pandas DataFrame — this one function body is shared verbatim by
+
+  * the single-process oracle used in tests (ground truth), and
+  * the Spark ``mapInPandas`` stage (``plans/extract.py``),
+
+so per-turn text equality between oracle and cluster is by construction
+(SURVEY.md section 7.1 design rule 1); the Spark layer is only trusted
+with distribution (partitioning, ordering, resume).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.kernels.classify import classify_blocks
+from dup_ocropy_spark.kernels.reassemble import reassemble
+from dup_ocropy_spark.kernels.segment import segment_payload
+
+# Output columns of the extraction stage, in schema order.
+EXTRACT_COLUMNS = (
+    "conv_id", "turn_idx", "role", "payload_len", "n_blocks", "n_content",
+    "extracted_text", "spans", "reject_reason",
+)
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, payload_len int, "
+    "n_blocks int, n_content int, extracted_text string, "
+    "spans array<struct<block_id:int,start:int,end:int,label:string,score:double>>, "
+    "reject_reason string"
+)
+
+
+def extract_turn(text: str | None, tool: str | None = None,
+                 forced_boundaries: list[int] | None = None,
+                 config: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    """Extract main content from one turn. Never raises on bad input —
+    invalid payloads come back with a ``reject_reason`` (the reference's
+    check_page/check_line gates print-and-skip, ``ocropus-nlbin:186-190``).
+    """
+    payload = tool if (tool is not None and tool != "") else (text or "")
+    out = {
+        "payload_len": len(payload),
+        "n_blocks": 0,
+        "n_content": 0,
+        "extracted_text": "",
+        "spans": [],
+        "reject_reason": None,
+    }
+    if payload == "":
+        out["reject_reason"] = "empty"                     # empty-input guard (P7)
+        return out
+    if payload.strip() == "":
+        out["reject_reason"] = "blank"                     # constant-image analog (N1 None)
+        return out
+    if len(payload) < config.min_payload_chars:
+        out["reject_reason"] = "too_short"                 # check_line h<20 analog (P3)
+        return out
+    if len(payload) > config.max_payload_chars:
+        out["reject_reason"] = "too_long"                  # check_page >10000px analog (P1)
+        return out
+    blocks = segment_payload(payload, forced_boundaries)
+    out["n_blocks"] = len(blocks)
+    if len(blocks) > config.max_blocks:
+        out["reject_reason"] = "too_many_blocks"           # maxlines gate (gpageseg:432-434)
+        return out
+    classify_blocks(blocks, config)
+    extracted, spans = reassemble(blocks, config)
+    out["extracted_text"] = extracted
+    out["spans"] = spans
+    out["n_content"] = len(spans)
+    return out
+
+
+def extract_frame(pdf: pd.DataFrame, config: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Vectorized-batch extraction over a pandas frame with columns
+    (conv_id, turn_idx, role, text, tool[, mask]). Returns EXTRACT_COLUMNS.
+
+    This is the Arrow-batch body of the Spark stage; row iteration here is
+    the same per-item loop the reference runs inside each pool worker.
+    """
+    n = len(pdf)
+    texts = pdf["text"].to_numpy(dtype=object) if "text" in pdf else np.array([None] * n, dtype=object)
+    tools = pdf["tool"].to_numpy(dtype=object) if "tool" in pdf else np.array([None] * n, dtype=object)
+    masks = pdf["mask"].to_numpy(dtype=object) if "mask" in pdf else np.array([None] * n, dtype=object)
+    rows = {
+        "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+        "turn_idx": pdf["turn_idx"].to_numpy(),
+        "role": pdf["role"].to_numpy(dtype=object) if "role" in pdf else np.array([""] * n, dtype=object),
+    }
+    results = [
+        extract_turn(
+            texts[i] if isinstance(texts[i], str) else None,
+            tools[i] if isinstance(tools[i], str) else None,
+            list(masks[i]) if masks[i] is not None and not (np.isscalar(masks[i]) and pd.isna(masks[i])) else None,
+            config,
+        )
+        for i in range(n)
+    ]
+    out = pd.DataFrame({
+        "conv_id": rows["conv_id"],
+        "turn_idx": pd.array(rows["turn_idx"], dtype="int32"),
+        "role": rows["role"],
+        "payload_len": pd.array([r["payload_len"] for r in results], dtype="int32"),
+        "n_blocks": pd.array([r["n_blocks"] for r in results], dtype="int32"),
+        "n_content": pd.array([r["n_content"] for r in results], dtype="int32"),
+        "extracted_text": pd.array([r["extracted_text"] for r in results], dtype=object),
+        "spans": pd.array([r["spans"] for r in results], dtype=object),
+        "reject_reason": pd.array([r["reject_reason"] for r in results], dtype=object),
+    })
+    return out

@@ -1,0 +1,164 @@
+"""Kernel golden tests — mirrors the reference's unit strategy
+(``/root/reference/tests/run-unit:31-52``: exact expected values) plus the
+edge fixtures from FIXTURES.md section 3/4. No Spark involved."""
+
+from __future__ import annotations
+
+import pytest
+
+from dup_ocropy_spark.config import ExtractConfig
+from dup_ocropy_spark.kernels import (
+    extract_turn, levenshtein, normalize_text, project_text, requote,
+    segment_payload, xlevenshtein,
+)
+
+
+# ---------------------------------------------------------------- edist (A1/A2)
+
+@pytest.mark.parametrize("a,b,d", [
+    ("a", "a", 0),
+    ("", "", 0),
+    ("a", "", 1),
+    ("", "a", 1),
+    ("aa", "aaaaaa", 4),
+    ("aba", "bab", 2),
+])
+def test_levenshtein_goldens(a, b, d):
+    assert levenshtein(a, b) == d
+
+
+def test_xlevenshtein_goldens():
+    assert xlevenshtein("exccpt", "except", 1) == (1.0, [("ccp", "cep")])
+    assert xlevenshtein("", "test", 1) == (4.0, [])
+    assert xlevenshtein("123 111 456", "132 111 444", 1) == (
+        4.0, [("123_ ", "1_32 "), ("456 ", "444 ")])
+
+
+# ---------------------------------------------------------------- textnorm (T1-T3)
+
+def test_normalize_text_table():
+    # homograph table: curly quotes, ligatures, micro, dashes, ellipsis
+    assert normalize_text("“fancy” ‘q’") == "''fancy'' 'q'"
+    assert normalize_text("eﬄuent ﬁne ﬂow") == "effluent fine flow"
+    assert normalize_text("5µm") == "5μm"
+    assert normalize_text("a–b—c") == "a-b-c"
+    assert normalize_text("wait…") == "wait..."
+    # whitespace collapse + strip
+    assert normalize_text("  a \t\n b  ") == "a b"
+    # NFC: e + combining acute -> precomposed
+    assert normalize_text("café") == "café"
+    # non-BMP passthrough
+    assert normalize_text("ok \U0001F600 done") == "ok \U0001F600 done"
+    assert normalize_text(None) == ""
+
+
+def test_project_text():
+    assert project_text("A1 b2!", "letdig") == "A1b2"
+    assert project_text("A1 b2!", "letters") == "Ab"
+    assert project_text("A1 b2!", "digits") == "12"
+    assert project_text("A1 b2!", "lnc") == "AB"
+    assert project_text("a  b", "nospace") == "ab"
+    assert project_text(". . . . . .", "exact") == "...."  # dot-row collapse
+    with pytest.raises(ValueError):
+        project_text("x", "bogus")
+
+
+def test_requote():
+    assert requote("say ''hi''") == 'say "hi"'
+
+
+# ---------------------------------------------------------------- segmentation
+
+HTML = """<html><head><title>T</title><style>b{c:d}</style></head><body>
+<nav><a href=/>Home</a> <a href=/a>About us now</a></nav>
+<h1>Heading Text Here</h1>
+<p>First real paragraph with a good number of plain words in it.</p>
+<p>Second paragraph with &amp; and a <a href=x>tiny link</a> still prose.</p>
+<hr>
+<footer>Copyright Notice &copy; owners</footer></body></html>"""
+
+
+def test_segment_html_blocks():
+    blocks = segment_payload(HTML)
+    kinds = [(b.kind, b.boiler) for b in blocks]
+    assert ("h1", False) in kinds
+    # nav/footer/title are boilerplate containers
+    assert all(b.boiler for b in blocks if b.kind in ("nav", "footer", "title"))
+    # style content never appears
+    assert not any("c:d" in b.visible for b in blocks)
+    # ids dense and ordered by position
+    assert [b.block_id for b in blocks] == list(range(len(blocks)))
+    assert all(blocks[i].start <= blocks[i + 1].start for i in range(len(blocks) - 1))
+
+
+def test_segment_entities_decoded_spans_raw():
+    blocks = segment_payload("<p>fish &amp; chips for dinner</p>")
+    assert blocks[0].visible == "fish & chips for dinner"
+    # span covers the raw (undecoded) payload extent
+    assert blocks[0].start == 3 and blocks[0].end == 3 + len("fish &amp; chips for dinner")
+
+
+def test_segment_plain_separators():
+    p = "First block of text here.\n\nSecond block after blank.\n====\nThird block after rule.\fFourth after formfeed."
+    blocks = segment_payload(p)
+    assert len(blocks) == 4
+    assert blocks[0].visible.startswith("First")
+    assert blocks[3].visible.startswith("Fourth")
+    # no rule-line block survives
+    assert not any("====" in b.visible for b in blocks)
+
+
+def test_segment_forced_boundary():
+    p = "aaaa bbbb cccc dddd eeee ffff gggg hhhh"
+    plain = segment_payload(p)
+    assert len(plain) == 1
+    forced = segment_payload(p, forced_boundaries=[20])
+    assert [(b.start, b.end) for b in forced] == [(0, 19), (20, 39)]
+
+
+def test_segment_boundary_spans():
+    p = "Content right at start and it runs to the very end"
+    b = segment_payload(p)
+    assert b[0].start == 0 and b[0].end == len(p)
+
+
+# ---------------------------------------------------------------- extract gates
+
+def test_extract_edge_fixtures():
+    assert extract_turn("")["reject_reason"] == "empty"
+    assert extract_turn("   \n\t ")["reject_reason"] == "blank"
+    assert extract_turn("tiny")["reject_reason"] == "too_short"
+    assert extract_turn("x" * 2_000_000)["reject_reason"] == "too_long"
+    big = "\n\n".join(f"paragraph number {i} with several words" for i in range(400))
+    assert extract_turn(big)["reject_reason"] == "too_many_blocks"
+
+
+def test_extract_all_boilerplate():
+    r = extract_turn("<nav><a href=/>Home page link</a> <a href=/b>Other link text</a></nav>")
+    assert r["extracted_text"] == "" and r["spans"] == [] and r["reject_reason"] is None
+
+
+def test_extract_plain_passthrough():
+    # already-plain payload (no markup): passthrough branch, still normalized
+    r = extract_turn("Just  a plain   sentence with no markup at all in sight.")
+    assert r["extracted_text"] == "Just a plain sentence with no markup at all in sight."
+    assert r["spans"][0]["start"] == 0
+
+
+def test_extract_tool_payload_precedence():
+    r = extract_turn("<p>html body text that is long enough</p>",
+                     "Tool payload wins when present and long enough.")
+    assert r["extracted_text"].startswith("Tool payload wins")
+
+
+def test_extract_deterministic():
+    r1 = extract_turn(HTML)
+    r2 = extract_turn(HTML)
+    assert r1 == r2
+
+
+def test_extract_logistic_mode_agrees_on_clear_cases():
+    cfg = ExtractConfig(classifier="logistic")
+    r = extract_turn(HTML, config=cfg)
+    assert "First real paragraph" in r["extracted_text"]
+    assert "Copyright" not in r["extracted_text"]
