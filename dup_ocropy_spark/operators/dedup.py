@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), character-shingle Jaccard (SQL-expressible, the
+oracle-checkable baseline), MinHash+LSH (the scale path: shingle ->
+minhash -> band -> bucket-join), and SimHash (bitwise near-dup).
+
+Scale notes (100 TB): exact dedup is one shuffle on a 16-byte hash;
+shingle-join dedup is bounded by dropping high-document-frequency
+shingles (stop-shingles) before the self-join, the standard guard
+against quadratic blowup on boilerplate; MinHash/LSH replaces the
+full shingle join with b tiny bucket joins whose keys are
+(band, minhash-of-band) — each bucket is small by construction and
+AQE's skew-join splits any pathological bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dup_ocropy_spark.operators.registry import register, table
+
+# char-shingle parameters shared by jaccard + minhash so results compare
+SHINGLE_LEN = 20
+SHINGLE_STRIDE = 10
+MAX_SHINGLE_DF = 20  # stop-shingle cutoff
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+    FROM documents
+    """,
+    doc="exact dedup: hash-groupBy on full text; one shuffle on a 16-byte "
+        "key at any scale",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_dup_rows"))
+
+
+@register(
+    "dedup_exact_keep_first",
+    sql="""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+    doc="exact dedup, keep-first survivor set (min doc_id per text hash)",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (d.select("doc_id", F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") == 1).select("doc_id"))
+
+
+# DuckDB's generate_series table function rejects lateral column params,
+# so build a global position series and filter per doc.
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {SHINGLE_LEN}) AS sh
+  FROM documents,
+       (SELECT unnest(generate_series(
+            1,
+            (SELECT greatest(max(length(text)) - {SHINGLE_LEN - 1}, 1)
+             FROM documents),
+            {SHINGLE_STRIDE})) AS p)
+  WHERE p <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct positional char shingles per doc (JVM-side: sequence +
+    explode + substring, no Python)."""
+    d = table(spark, sf_dir, "documents")
+    pos = F.explode(F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1)),
+        F.lit(SHINGLE_STRIDE))).alias("p")
+    return (d.select("doc_id", "text", pos)
+            .select("doc_id", F.substring(F.col("text"), F.col("p").cast("int"), SHINGLE_LEN)
+                    .alias("sh"))
+            .distinct())
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    df AS (SELECT sh, count(*) AS docfreq FROM sh GROUP BY sh),
+    sh2 AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)
+            WHERE df.docfreq <= {MAX_SHINGLE_DF}),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+    """,
+    doc="n-gram Jaccard near-dup: shingle explode -> stop-shingle filter "
+        "-> self-join -> set overlap; the exact baseline MinHash approximates",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
+    sh2 = (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
+           .select("doc_id", "sh"))
+    counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    j = (inter
+         .join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
+         .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id")))
+    jac = F.col("n_inter").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter"))
+    return (j.where(jac >= 0.2)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (rows-only check: DuckDB lacks xxhash64)
+# ---------------------------------------------------------------------------
+
+N_BANDS = 8
+ROWS_PER_BAND = 4  # 32 minhashes total
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): per-doc min of xxhash64(sh, seed) for each
+    of b*r seeded hashes, rows of a band combined into one bucket key.
+    All JVM expressions — the shuffle is one groupBy(doc_id)."""
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"mh{k}")
+        for k in range(N_BANDS * ROWS_PER_BAND)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                         for r in range(ROWS_PER_BAND)]).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ])
+    return (sig.select("doc_id", F.explode(bands).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=None,  # hash functions differ across engines -> rows-only check
+    doc="MinHash+LSH candidate pairs: shingle -> 32 seeded minhashes -> "
+        "8 banded bucket keys -> per-bucket pair join (the 100TB-scale path; "
+        "bucket joins replace the quadratic shingle self-join)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized numpy inside mapInPandas; rows-only check)
+# ---------------------------------------------------------------------------
+
+def _token_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (blake2b; Python's hash() is salted
+    per process and would break cross-run/cross-executor determinism)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _simhash_batch(batches):
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for pdf in batches:
+        out_ids = pdf["doc_id"].to_numpy()
+        hashes = np.zeros(len(pdf), dtype=np.uint64)
+        for i, text in enumerate(pdf["text"]):
+            tokens = str(text).lower().split()
+            if not tokens:
+                continue
+            hv = np.array([_token_hash64(t) for t in tokens], dtype=np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            hashes[i] = (powers[acc >= 0]).sum(dtype=np.uint64)
+        yield pd.DataFrame({"doc_id": out_ids,
+                            "simhash": hashes.view(np.int64)})
+
+
+@register(
+    "dedup_simhash",
+    sql=None,
+    doc="SimHash near-dup: 64-bit sign-sum fingerprint per doc (Arrow-batch "
+        "numpy), then hamming<=6 self-join via bit_count(xor) in the JVM",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    # band the 64-bit hash into 4 x 16-bit chunks: near-dups (<=6 flipped
+    # bits) must agree on at least one chunk -> equi-join per chunk instead
+    # of a cross join (pigeonhole; same trick as LSH banding)
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("ck"))
+        for c in range(4)
+    ])
+    ca = (sig.select("doc_id", "simhash", F.explode(chunks).alias("c"))
+          .select("doc_id", "simhash", "c.chunk", "c.ck").alias("ca"))
+    cb = ca.alias("cb")
+    cand = (ca.join(cb, (F.col("ca.chunk") == F.col("cb.chunk"))
+                    & (F.col("ca.ck") == F.col("cb.ck"))
+                    & (F.col("ca.doc_id") < F.col("cb.doc_id")))
+            .select(F.col("ca.doc_id").alias("doc_a"),
+                    F.col("cb.doc_id").alias("doc_b"),
+                    F.col("ca.simhash").alias("ha"),
+                    F.col("cb.simhash").alias("hb"))
+            .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.where(hamming <= 6)
+            .select("doc_a", "doc_b", hamming.alias("hamming")))

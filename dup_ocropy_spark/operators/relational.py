@@ -1,0 +1,635 @@
+"""Relational recasts of the reference operator inventory (SURVEY.md §2).
+
+Each query is the Spark-first expression of one reference operator family,
+with its DuckDB oracle twin. Reference citations are on each registration.
+
+Conventions for oracle parity:
+  * every computed column aliased identically on both sides
+  * doubles rounded (6 dp) on both sides before output
+  * every window/top-k has a total-order tie-break (determinism)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dup_ocropy_spark.operators.registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# P-family: validation gates as filters (ocropus-nlbin:61-69, rpred:82-96)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p1_reject_gate",
+    sql="""
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_chars > 500 THEN 'too_long'
+                ELSE 'ok' END AS gate
+    FROM documents
+    WHERE n_chars < 100 OR n_chars > 500
+    """,
+    doc="check_page size gate as a pushed-down filter + reject-reason column "
+        "(ocropus-nlbin:61-69)",
+)
+def p1_reject_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    gate = (F.when(F.col("n_chars") < 100, "too_short")
+            .when(F.col("n_chars") > 500, "too_long")
+            .otherwise("ok"))
+    return (d.select("doc_id", "n_chars", gate.alias("gate"))
+            .where((F.col("n_chars") < 100) | (F.col("n_chars") > 500)))
+
+
+@register(
+    "p6_select_regions_topk",
+    sql="""
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents WHERE n_chars > 100
+    ) WHERE rk <= 3
+    """,
+    doc="select_regions: keep nbest regions scoring above min "
+        "(ocrolib/morph.py:190-207)",
+)
+def p6_select_regions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 100)
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.select("source", "doc_id", "n_chars",
+                     F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# G-family: scale estimation, run labeling, interval joins (gpageseg/morph)
+# ---------------------------------------------------------------------------
+
+@register(
+    "g1_estimate_scale",
+    sql="""
+    SELECT source,
+           round(quantile_cont(sqrt(n_chars), 0.5), 6) AS scale,
+           count(*) AS n_docs
+    FROM documents WHERE n_chars BETWEEN 50 AND 550
+    GROUP BY source
+    """,
+    doc="estimate_scale: median sqrt(size) of in-band components "
+        "(ocrolib/psegutils.py:45-53)",
+)
+def g1_estimate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars").between(50, 550))
+    return (d.groupBy("source")
+            .agg(F.round(F.percentile(F.sqrt("n_chars"), F.lit(0.5)), 6).alias("scale"),
+                 F.count("*").alias("n_docs")))
+
+
+_RUN_LABEL_SQL = """
+      SELECT event_id, user_id, event_type,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id,
+             ts
+      FROM (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN event_type IS DISTINCT FROM
+                         lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+      )
+"""
+
+
+def _run_label_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-run labeling: the 1-D recast of morph.label connected
+    components (ocrolib/morph.py:14-27) — boundary-flag cumsum window."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
+    run = F.sum(boundary).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return e.select("event_id", "user_id", "event_type",
+                    run.alias("run_id"), "ts")
+
+
+@register(
+    "g3_run_label",
+    sql=f"SELECT event_id, user_id, event_type, run_id FROM ({_RUN_LABEL_SQL})",
+    doc="connected-component labeling as boundary-cumsum over an ordered "
+        "stream (morph.py:14-27 recast; SURVEY.md G3)",
+)
+def g3_run_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_label_df(spark, sf_dir).drop("ts")
+
+
+@register(
+    "g4_run_extents",
+    sql=f"""
+    SELECT user_id, run_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM ({_RUN_LABEL_SQL})
+    GROUP BY user_id, run_id
+    """,
+    doc="find_objects: bbox per label -> min/max extent per run "
+        "(morph.py:29-42)",
+)
+def g4_run_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_run_label_df(spark, sf_dir)
+            .groupBy("user_id", "run_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+# interval sets for the overlap joins: blocks = 'view' events, seeds = 'click'
+_BLOCKS_SQL = """
+  SELECT event_id AS block_id, user_id,
+         value AS bs, value + 3.0 AS be
+  FROM events WHERE event_type = 'view'
+"""
+_SEEDS_SQL = """
+  SELECT event_id AS seed_id, user_id,
+         value AS ss, value + 5.0 AS se,
+         event_id % 7 AS label
+  FROM events WHERE event_type = 'click'
+"""
+
+
+def _blocks_seeds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = table(spark, sf_dir, "events")
+    blocks = (e.where(F.col("event_type") == "view")
+              .select(F.col("event_id").alias("block_id"), "user_id",
+                      F.col("value").alias("bs"),
+                      (F.col("value") + 3.0).alias("be")))
+    seeds = (e.where(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("seed_id"), "user_id",
+                     F.col("value").alias("ss"),
+                     (F.col("value") + 5.0).alias("se"),
+                     (F.col("event_id") % 7).alias("label")))
+    return blocks, seeds
+
+
+@register(
+    "g11_propagate_labels",
+    sql=f"""
+    SELECT b.user_id, b.block_id,
+           CASE WHEN count(DISTINCT s.label) = 1 THEN min(s.label)
+                ELSE 0 END AS resolved_label,
+           count(*) AS n_seed_matches
+    FROM ({_BLOCKS_SQL}) b JOIN ({_SEEDS_SQL}) s
+      ON b.user_id = s.user_id AND b.bs < s.se AND s.ss < b.be
+    GROUP BY b.user_id, b.block_id
+    """,
+    doc="propagate_labels: seed labels onto overlapping components, "
+        "conflicts -> 0 (morph.py:174-188) as an interval join + agg",
+)
+def g11_propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, seeds = _blocks_seeds(spark, sf_dir)
+    j = blocks.join(F.broadcast(seeds),
+                    (blocks.user_id == seeds.user_id)
+                    & (blocks.bs < seeds.se) & (seeds.ss < blocks.be))
+    return (j.groupBy(blocks.user_id, "block_id")
+            .agg(F.when(F.count_distinct("label") == 1, F.min("label"))
+                 .otherwise(F.lit(0)).alias("resolved_label"),
+                 F.count("*").alias("n_seed_matches")))
+
+
+@register(
+    "g13_keep_marked",
+    sql=f"""
+    SELECT b.user_id, b.block_id FROM ({_BLOCKS_SQL}) b
+    WHERE EXISTS (SELECT 1 FROM ({_SEEDS_SQL}) s
+                  WHERE s.user_id = b.user_id AND b.bs < s.se AND s.ss < b.be)
+    """,
+    doc="keep_marked: keep components overlapping a marker -> LEFT SEMI "
+        "interval join (morph.py:135-142)",
+)
+def g13_keep_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, seeds = _blocks_seeds(spark, sf_dir)
+    return blocks.join(
+        F.broadcast(seeds),
+        (blocks.user_id == seeds.user_id) & (blocks.bs < seeds.se) & (seeds.ss < blocks.be),
+        "left_semi",
+    ).select("user_id", "block_id")
+
+
+@register(
+    "g14_remove_marked",
+    sql=f"""
+    SELECT b.user_id, b.block_id FROM ({_BLOCKS_SQL}) b
+    WHERE NOT EXISTS (SELECT 1 FROM ({_SEEDS_SQL}) s
+                      WHERE s.user_id = b.user_id AND b.bs < s.se AND s.ss < b.be)
+    """,
+    doc="remove_marked: the anti-join twin (morph.py:144-149)",
+)
+def g14_remove_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, seeds = _blocks_seeds(spark, sf_dir)
+    return blocks.join(
+        F.broadcast(seeds),
+        (blocks.user_id == seeds.user_id) & (blocks.bs < seeds.se) & (seeds.ss < blocks.be),
+        "left_anti",
+    ).select("user_id", "block_id")
+
+
+@register(
+    "g15_all_neighbors",
+    sql="""
+    SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+           count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    GROUP BY a.l_returnflag, b.l_returnflag
+    """,
+    doc="all_neighbors: adjacent-label pairs via positional self-join "
+        "(morph.py:209-223)",
+)
+def g15_all_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    j = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")))
+    return (j.groupBy(F.col("a.l_returnflag").alias("flag_a"),
+                      F.col("b.l_returnflag").alias("flag_b"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+@register(
+    "g16_renumber_ordered",
+    sql="""
+    SELECT p_partkey,
+           dense_rank() OVER (PARTITION BY p_brand
+                              ORDER BY p_size, p_partkey) AS new_id
+    FROM part
+    """,
+    doc="renumber_labels_ordered / renumber_by_xcenter: densify ids in "
+        "position order (morph.py:229-272)",
+)
+def g16_renumber_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    return p.select("p_partkey", F.dense_rank().over(w).alias("new_id"))
+
+
+@register(
+    "g20_interval_overlap",
+    sql=f"""
+    SELECT b.block_id, s.seed_id,
+           round(greatest(0.0, least(b.be, s.se) - greatest(b.bs, s.ss)), 6)
+             AS overlap
+    FROM ({_BLOCKS_SQL}) b JOIN ({_SEEDS_SQL}) s
+      ON b.user_id = s.user_id AND b.bs < s.se AND s.ss < b.be
+    """,
+    doc="sl.* rectangle algebra: overlap width via greatest/least "
+        "(ocrolib/sl.py:13-155)",
+)
+def g20_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, seeds = _blocks_seeds(spark, sf_dir)
+    j = blocks.join(F.broadcast(seeds),
+                    (blocks.user_id == seeds.user_id)
+                    & (blocks.bs < seeds.se) & (seeds.ss < blocks.be))
+    overlap = F.greatest(F.lit(0.0),
+                         F.least("be", "se") - F.greatest("bs", "ss"))
+    return j.select("block_id", "seed_id", F.round(overlap, 6).alias("overlap"))
+
+
+# ---------------------------------------------------------------------------
+# O-family: ordering / top-k / histograms
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_reading_order",
+    sql="""
+    SELECT event_id, user_id, rn FROM (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    doc="reading_order + topsort: total order within a group "
+        "(psegutils.py:127-181 collapsed to 1-D)",
+)
+def o1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 5))
+
+
+@register(
+    "o6_chist",
+    sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    doc="chist: descending count histogram (ocrolib/common.py:471-478)",
+)
+def o6_chist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (table(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# H-family: reassembly / layout analytics (ocropus-hocr)
+# ---------------------------------------------------------------------------
+
+@register(
+    "h2_paragraph_breaks",
+    sql="""
+    SELECT event_id, user_id,
+           CASE WHEN gap > 3600 THEN 1 ELSE 0 END AS is_break
+    FROM (
+      SELECT event_id, user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap
+      FROM events
+    ) WHERE gap IS NOT NULL
+    """,
+    doc="paragraph-break detection: consecutive-item gap thresholds via "
+        "lag window (ocropus-hocr:101-113)",
+)
+def h2_paragraph_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (e.select("event_id", "user_id", gap.alias("gap"))
+            .where(F.col("gap").isNotNull())
+            .select("event_id", "user_id",
+                    F.when(F.col("gap") > 3600, 1).otherwise(0).alias("is_break")))
+
+
+@register(
+    "h4_reassembly",
+    sql="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="line->page assembly under stable ordering: collect + sort + join "
+        "(ocropus-hocr:91-153); JVM-side only, no Python",
+)
+def h4_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                        lambda s: s["event_type"]),
+                    ",").alias("journey"),
+                 F.count("*").alias("n_events")))
+
+
+@register(
+    "h3_font_size_estimate",
+    sql="""
+    SELECT doc_id,
+           CAST(floor(least(greatest(
+             100.0 * n_chars / (SELECT quantile_cont(n_chars, 0.5) FROM documents),
+             30.0), 300.0) / 10.0) * 10 AS BIGINT) AS relsize
+    FROM documents
+    """,
+    doc="font-size estimate: per-item size / corpus median, clipped 30..300%%, "
+        "rounded to 10%% (ocropus-hocr:135-141)",
+)
+def h3_font_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    med = d.agg(F.percentile("n_chars", F.lit(0.5)).alias("m"))
+    rel = F.least(F.greatest(100.0 * F.col("n_chars") / F.col("m"), F.lit(30.0)), F.lit(300.0))
+    return (d.crossJoin(F.broadcast(med))
+            .select("doc_id", (F.floor(rel / 10.0) * 10).cast("bigint").alias("relsize")))
+
+
+# ---------------------------------------------------------------------------
+# A-family: metrics (ocropus-errs / econf)
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = """
+  SELECT a.doc_id, a.source,
+         substr(a.text, 1, 40) AS pred, substr(b.text, 1, 40) AS gt
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    a = d.alias("a")
+    b = d.alias("b")
+    return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.source").alias("source"),
+                    F.substring(F.col("a.text"), 1, 40).alias("pred"),
+                    F.substring(F.col("b.text"), 1, 40).alias("gt")))
+
+
+@register(
+    "a1_levenshtein",
+    sql=f"SELECT doc_id, levenshtein(pred, gt) AS lev FROM ({_PAIRS_SQL})",
+    doc="edit distance, built-in JVM levenshtein (ocrolib/edist.py:6-19)",
+)
+def a1_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_doc_pairs(spark, sf_dir)
+            .select("doc_id", F.levenshtein("pred", "gt").alias("lev")))
+
+
+@register(
+    "a3_error_rate",
+    sql=f"""
+    SELECT source,
+           round(CAST(sum(levenshtein(pred, gt)) AS DOUBLE)
+                 / sum(length(gt)), 6) AS err_rate,
+           count(*) AS n_pairs
+    FROM ({_PAIRS_SQL}) GROUP BY source
+    """,
+    doc="error-rate reduce: sum(err)/sum(len) (ocropus-errs:36-66)",
+)
+def a3_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_doc_pairs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.round(F.sum(F.levenshtein("pred", "gt")).cast("double")
+                         / F.sum(F.length("gt")), 6).alias("err_rate"),
+                 F.count("*").alias("n_pairs")))
+
+
+@register(
+    "a4_confusion_topk",
+    sql="""
+    SELECT prev_type, event_type, n FROM (
+      SELECT prev_type, event_type, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, prev_type, event_type)
+               AS rk
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ) WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ) WHERE rk <= 10
+    """,
+    doc="confusion-matrix reduce + most_common(k): pair counts, partial agg "
+        "free in Spark (ocropus-econf:47-111)",
+)
+def a4_confusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+             .where(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", "event_type").agg(F.count("*").alias("n")))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), "prev_type", "event_type"))
+    return (pairs.select("prev_type", "event_type", "n", rk.alias("rk"))
+            .where(F.col("rk") <= 10).drop("rk"))
+
+
+@register(
+    "a6_moving_stats",
+    sql="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS mavg
+    FROM events
+    """,
+    doc="MovingStats: running mean of last n (ocrolib/common.py:871-882)",
+)
+def a6_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select("event_id", F.round(F.avg("value").over(w), 6).alias("mavg"))
+
+
+# ---------------------------------------------------------------------------
+# T-family: text scalar functions (JVM-side regexp chains)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t1_normalize_text",
+    sql=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(text, '"', ''''''), '`', ''''), chr(181), chr(956)),
+             '\s+', ' ', 'g')) AS norm
+    FROM documents
+    """,
+    doc="normalize_text as a JVM regexp_replace chain — no Python "
+        "(ocrolib/common.py:46-58, chars.py:37-59)",
+)
+def t1_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = F.col("text")
+    s = F.replace(s, F.lit('"'), F.lit("''"))
+    s = F.replace(s, F.lit("`"), F.lit("'"))
+    s = F.replace(s, F.lit("µ"), F.lit("μ"))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return d.select("doc_id", s.alias("norm"))
+
+
+@register(
+    "t2_project_letdig",
+    sql=r"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS proj
+    FROM documents
+    """,
+    doc="project_text(letdig): strip to alphanumerics "
+        "(ocrolib/common.py:60-81); md5 keeps compare payload small",
+)
+def t2_project_letdig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[^A-Za-z0-9]", "")).alias("proj"))
+
+
+# ---------------------------------------------------------------------------
+# J-family: key joins with missing accounting (ocropus-errs:38-46)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_missing_accounting",
+    sql="""
+    SELECT g.source,
+           count(*) AS n_total,
+           sum(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS n_missing
+    FROM documents g
+    LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) p
+      ON g.doc_id = p.doc_id
+    GROUP BY g.source
+    """,
+    doc="pred<->gt filename join with missing-file accounting as a left "
+        "join + null counting (ocropus-errs:38-46)",
+)
+def j1_missing_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pred = d.where(F.col("doc_id") % 7 != 0).select(F.col("doc_id").alias("p_doc_id"))
+    return (d.join(F.broadcast(pred), d.doc_id == pred.p_doc_id, "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(F.when(F.col("p_doc_id").isNull(), 1).otherwise(0))
+                 .alias("n_missing")))
+
+
+# ---------------------------------------------------------------------------
+# OLAP parity: grouped aggregation + broadcast-join top-k (SURVEY.md §2.9/2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="grouped-aggregation parity check (TPC-H Q1 shape); partial+final "
+        "agg comes free from Catalyst",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@register(
+    "q3_topk_revenue",
+    sql="""
+    SELECT l_orderkey, revenue, o_orderdate FROM (
+      SELECT l.l_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+             row_number() OVER (
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
+                        l.l_orderkey) AS rk
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    ) WHERE rk <= 10
+    """,
+    doc="join + top-k: dims broadcast, single shuffle on the fact key",
+)
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    agg = (j.groupBy("l_orderkey", "o_orderdate")
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("revenue")))
+    rk = F.row_number().over(W.orderBy(F.desc("revenue"), "l_orderkey"))
+    return (agg.select("l_orderkey", "revenue",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                       rk.alias("rk"))
+            .where(F.col("rk") <= 10).drop("rk"))

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (SQL-expressible, oracle-
+checked); the LSH-bucketed variant is the 100 TB scale path — random
+hyperplane signatures turn the all-pairs problem into per-bucket joins,
+the same banding pattern as MinHash dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dup_ocropy_spark.operators.registry import register, table
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+def _cosine(a, b):
+    """JVM-side cosine over two array<float> columns: zip_with dot products,
+    aggregate squared norms — no Python."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+@register(
+    "ann_cosine_topk",
+    sql=f"""
+    SELECT query_id, vec_id, cos FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(v.embedding AS DOUBLE[])), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(v.embedding AS DOUBLE[])), 4)
+                        DESC, v.vec_id) AS rk
+      FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN embeddings v
+      WHERE q.vec_id <> v.vec_id
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="brute-force cosine top-k: broadcast queries x scan corpus; the "
+        "exact baseline for ANN",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")))
+    j = F.broadcast(q).crossJoin(e.select("vec_id", "embedding"))
+    j = j.where(F.col("query_id") != F.col("vec_id"))
+    cos = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored = j.select("query_id", "vec_id", cos.alias("cos"))
+    rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
+    return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
+                 .where(F.col("rk") <= TOP_K).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; rows-only — hyperplanes are engine-internal)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12  # 2^12 buckets
+LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket_ids(spark: SparkSession, emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, bucket): sign-pattern of dot products with broadcast random
+    hyperplanes, computed JVM-side as a sum over literal plane weights."""
+    planes = _hyperplanes(dim)
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(float(w)) for w in planes[p]]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+@register(
+    "ann_lsh_topk",
+    sql=None,
+    doc="LSH-bucketed ANN: random-hyperplane sign buckets -> per-bucket "
+        "candidate join -> exact cosine rerank within bucket (scale path: "
+        "replaces the N x M cross join with bucket-local joins)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    with_b = lsh_bucket_ids(spark, e)
+    q = (with_b.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+                 F.col("bucket").alias("qb")))
+    cand = (F.broadcast(q)
+            .join(with_b, (F.col("qb") == F.col("bucket"))
+                  & (F.col("query_id") != F.col("vec_id"))))
+    cos = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored = cand.select("query_id", "vec_id", cos.alias("cos"))
+    rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
+    return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
+                 .where(F.col("rk") <= TOP_K).drop("rk")
+
+
+@register(
+    "embed_norms",
+    sql="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4)
+             AS l2norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    doc="embedding L2 norms: JVM aggregate over array<float>",
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return e.select("vec_id", F.round(norm, 4).alias("l2norm"),
+                    F.size("embedding").alias("dim"))

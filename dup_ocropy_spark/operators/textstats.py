@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+All JVM-side column expressions (length/replace/regexp arithmetic) so they
+run inside whole-stage codegen; the DuckDB twins use the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dup_ocropy_spark.operators.registry import register, table
+
+
+def _occurrences(col, needle: str):
+    """Count non-overlapping occurrences via length arithmetic (portable
+    across engines, no regex dialect risk)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("bigint")
+
+
+@register(
+    "token_count",
+    sql=r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+    """,
+    doc="whitespace token count (BPE-ish counting is the regex variant in "
+        "quality_score)",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = (F.when(F.length(F.trim("text")) == 0, 0)
+         .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
+    return d.select("doc_id", n.cast("bigint").alias("n_tokens"))
+
+
+@register(
+    "quality_score",
+    sql=r"""
+    SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
+           round(stop_ratio, 6) AS stop_ratio,
+           CASE WHEN n_words >= 10 AND avg_word_len BETWEEN 2 AND 12
+                     AND stop_ratio >= 0.05
+                THEN 1 ELSE 0 END AS is_quality
+    FROM (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+             CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                  + (length(text) - length(replace(text, ' a ', ''))) / 3
+                  AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    """,
+    doc="quality scoring: length/word-shape/stopword-ratio gates "
+        "(the P1-P3 validation-gate family applied to corpus curation)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words)
+    stop_hits = (_occurrences(F.col("text"), " the ") + _occurrences(F.col("text"), " a "))
+    stop_ratio = stop_hits.cast("double") / n_words
+    base = d.select("doc_id", n_words.alias("n_words"), awl.alias("awl"),
+                    stop_ratio.alias("sr"))
+    is_q = (F.when((F.col("n_words") >= 10) & F.col("awl").between(2, 12)
+                   & (F.col("sr") >= 0.05), 1).otherwise(0))
+    return base.select("doc_id", "n_words",
+                       F.round("awl", 6).alias("avg_word_len"),
+                       F.round("sr", 6).alias("stop_ratio"),
+                       is_q.alias("is_quality"))
+
+
+@register(
+    "lang_id_heuristic",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN en_hits >= 1 THEN 'en' ELSE 'unknown' END AS guessed_lang,
+           en_hits,
+           CASE WHEN (CASE WHEN en_hits >= 1 THEN 'en' ELSE 'unknown' END) = lang
+                THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT doc_id, lang,
+             (length(text) - length(replace(text, ' the ', ''))) / 5
+             + (length(text) - length(replace(text, ' a ', ''))) / 3
+             + (length(text) - length(replace(text, ' of ', ''))) / 4 AS en_hits
+      FROM documents
+    )
+    """,
+    doc="language-ID n-gram heuristic: function-word hit counting "
+        "(lookup-table style, like ocrolib/chars charset tables)",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    hits = (_occurrences(F.col("text"), " the ")
+            + _occurrences(F.col("text"), " a ")
+            + _occurrences(F.col("text"), " of "))
+    base = d.select("doc_id", "lang", hits.alias("en_hits"))
+    guessed = F.when(F.col("en_hits") >= 1, "en").otherwise("unknown")
+    return base.select("doc_id", guessed.alias("guessed_lang"), "en_hits",
+                       F.when(guessed == F.col("lang"), 1).otherwise(0).alias("correct"))
+
+
+@register(
+    "doc_fingerprint",
+    sql=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of the normalized byte stream "
+        "(normalize-then-hash, the content-checksum used in lineage too)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fp"))
