@@ -1,0 +1,63 @@
+"""JVM-side text normalization (reference T1/T2 as Column expressions).
+
+The kernel ``normalize_text`` (kernels/textnorm.py) is the authoritative
+implementation used inside the fused extraction UDF. This module mirrors
+the homograph table as a ``regexp_replace``/``replace`` chain for callers
+that only need normalization — it stays inside whole-stage codegen, never
+touching Python. NFC is the one piece Java regex can't express; Spark's
+default UTF8 handling matches for all our ASCII/precomposed fixtures, and
+payloads that need true NFC go through the kernel path.
+
+Parity with the kernel table is pinned by tests/test_functions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# literal (non-regex) single-char replacements, applied via F.replace
+_LITERAL = [
+    ('"', "''"),
+    ("`", "'"),
+    ("´", "'"),
+    ("“", "''"), ("”", "''"), ("„", "''"), ("‟", "''"),
+    ("‘", "'"), ("’", "'"), ("‚", "'"), ("‛", "'"),
+    ("…", "..."),
+    ("′", "'"), ("″", "''"), ("‴", "'''"), ("〃", "''"),
+    ("µ", "μ"),
+    ("–", "-"), ("—", "-"),
+    ("ﬂ", "fl"), ("ﬁ", "fi"), ("ﬀ", "ff"), ("ﬃ", "ffi"), ("ﬄ", "ffl"),
+]
+
+
+def normalize_text_col(col: Column | str) -> Column:
+    """Whitespace collapse + homograph canonicalization, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "[_~#]", "~")
+    for a, b in _LITERAL:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+_PROJECTIONS = {
+    "nospace": r"\s",
+    "spletdig": "[^A-Za-z0-9 ]",
+    "letdig": "[^A-Za-z0-9]",
+    "letters": "[^A-Za-z]",
+    "digits": "[^0-9]",
+    "lnc": "[^A-Z]",
+}
+
+
+def project_text_col(col: Column | str, kind: str = "exact") -> Column:
+    """project_text as a Column expression (ocrolib/common.py:60-81)."""
+    c = normalize_text_col(col)
+    c = F.regexp_replace(c, r"( *[.] *){4,}", "....")
+    c = F.regexp_replace(c, "[~_]", "")
+    if kind == "exact":
+        return c
+    if kind == "lnc":
+        c = F.upper(c)
+    if kind not in _PROJECTIONS:
+        raise ValueError(f"unknown projection: {kind}")
+    return F.regexp_replace(c, _PROJECTIONS[kind], "")

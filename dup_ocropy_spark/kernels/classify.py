@@ -48,20 +48,23 @@ def block_features(blocks: list[Block]) -> np.ndarray:
     per-block normalization into a fixed-width feature frame)."""
     n = len(blocks)
     X = np.zeros((n, len(FEATURE_NAMES)), dtype=np.float64)
+    lens = np.empty(n, dtype=np.float64)
     for i, b in enumerate(blocks):
         text = b.visible.strip()
         nv = max(1, len(text))
         words = _WORD_RE.findall(text.lower())
         nw = max(1, len(words))
         nstop = sum(1 for w in words if w in STOPWORDS)
-        X[i, 0] = np.log1p(len(text))
+        total_wlen = sum(len(w) for w in words)
+        lens[i] = len(text)
         X[i, 1] = b.link_density
         X[i, 2] = 1.0 if b.boiler else 0.0
         X[i, 3] = nstop / nw
         X[i, 4] = len(_PUNCT_RE.findall(text)) / nw
         X[i, 5] = len(_DIGIT_RE.findall(text)) / nv
-        X[i, 6] = float(np.mean([len(w) for w in words])) if words else 0.0
+        X[i, 6] = total_wlen / nw if words else 0.0
         X[i, 7] = 1.0 if b.kind in ("h1", "h2", "h3", "h4", "h5", "h6", "title") else 0.0
+    X[:, 0] = np.log1p(lens)  # vectorized over the batch, not per block
     return X
 
 

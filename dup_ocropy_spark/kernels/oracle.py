@@ -114,4 +114,6 @@ def extract_frame(pdf: pd.DataFrame, config: ExtractConfig = DEFAULT_CONFIG) -> 
         "spans": pd.array([r["spans"] for r in results], dtype=object),
         "reject_reason": pd.array([r["reject_reason"] for r in results], dtype=object),
     })
+    if "ts" in pdf:  # event-time passthrough for streaming consumers
+        out["ts"] = pdf["ts"].to_numpy()
     return out

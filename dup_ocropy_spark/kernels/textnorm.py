@@ -42,6 +42,8 @@ REPLACEMENTS: list[tuple[str, str]] = [
 
 _COMPILED = [(re.compile(p), r) for p, r in REPLACEMENTS]
 _WS = re.compile(r"\s+")
+# fast-path guard: one scan for any char the replacement table touches
+_ANY_SPECIAL = re.compile("[_~#\"`´“”„‟‘’‚‛…′″‴〃µ–—ﬂﬁﬀﬃﬄ]")
 
 
 def normalize_text(s: str) -> str:
@@ -53,6 +55,8 @@ def normalize_text(s: str) -> str:
         return ""
     s = unicodedata.normalize("NFC", s)
     s = _WS.sub(" ", s).strip()
+    if _ANY_SPECIAL.search(s) is None:  # common case: no homographs present
+        return s
     for pat, repl in _COMPILED:
         s = pat.sub(repl, s)
     return s

@@ -1,0 +1,66 @@
+"""Streaming extraction: the same fused kernel stage over a file stream.
+
+The reference is batch-only (SURVEY.md §2.11); this is the Spark-native
+upgrade path: new transcript partitions landing in a directory are picked
+up incrementally, run through the identical ``mapInPandas`` stage
+(stateless, so it is streaming-safe), and appended to the sink with
+exactly-once file-source semantics. Late/duplicate turns are handled by
+idempotent downstream overwrite (resume.py), not watermark state — but a
+watermarked windowed-throughput aggregation is provided for monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.kernels.oracle import EXTRACT_SCHEMA
+from dup_ocropy_spark.plans.extract import make_extract_stage
+from dup_ocropy_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def transcript_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_path))
+
+
+def extracted_stream(stream: DataFrame,
+                     config: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Stateless extraction over a streaming DataFrame. The ``ts`` column
+    is carried through for watermarked downstream aggregation."""
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool") if c in stream.columns]
+    out = stream.select(*cols).mapInPandas(make_extract_stage(config),
+                                           schema=EXTRACT_SCHEMA)
+    return out
+
+
+def windowed_throughput(stream: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
+                        window: str = "1 minute", watermark: str = "5 minutes") -> DataFrame:
+    """Monitoring agg: extracted turns + content blocks per event-time
+    window, tolerant of late turns up to the watermark."""
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            if c in stream.columns]
+    out = stream.select(*cols).mapInPandas(
+        make_extract_stage(config), schema=EXTRACT_SCHEMA + ", ts timestamp")
+    return (out.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum("n_content").alias("n_content_blocks"),
+                 F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0))
+                 .alias("n_rejected")))
+
+
+def start_extract_stream(spark: SparkSession, input_path: str, output_path: str,
+                         checkpoint_path: str,
+                         config: ExtractConfig = DEFAULT_CONFIG):
+    """File-in -> parquet-out streaming job with checkpointed progress."""
+    q = (extracted_stream(transcript_stream(spark, input_path), config)
+         .writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append"))
+    return q.start()

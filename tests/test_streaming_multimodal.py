@@ -1,0 +1,86 @@
+"""Streaming extraction smoke + multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dup_ocropy_spark.operators.multimodal import (
+    FEATURE_DIM, extract_media_features, synth_media,
+)
+from dup_ocropy_spark.plans.extract import extract
+from dup_ocropy_spark.sources.transcripts import write_transcripts
+from dup_ocropy_spark.streaming import (
+    extracted_stream, windowed_throughput,
+)
+from dup_ocropy_spark.streaming.extract_stream import transcript_stream
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    write_transcripts(spark, path, 20)
+    return path
+
+
+def test_streaming_extraction_matches_batch(spark, stream_input):
+    q = (extracted_stream(transcript_stream(spark, stream_input))
+         .writeStream.format("memory").queryName("ext_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, extracted_text FROM ext_out") \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    want = (extract(spark.read.parquet(stream_input))
+            .select("conv_id", "turn_idx", "extracted_text")
+            .orderBy("conv_id", "turn_idx").toPandas())
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
+def test_streaming_windowed_throughput(spark, stream_input):
+    q = (windowed_throughput(transcript_stream(spark, stream_input),
+                             window="10 minutes", watermark="1 hour")
+         .writeStream.format("memory").queryName("thr_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits closed windows; just assert the query planned
+    # and ran with watermark state (complete-mode check below is the data one)
+    q2 = (windowed_throughput(transcript_stream(spark, stream_input),
+                              window="10 minutes", watermark="1 hour")
+          .writeStream.format("memory").queryName("thr_all")
+          .outputMode("complete").start())
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pdf = spark.sql("SELECT * FROM thr_all").toPandas()
+    total = int(pdf["n_turns"].sum())
+    assert total == spark.read.parquet(stream_input).count()
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 48)
+    feats = extract_media_features(media, decoder="fake")
+    pdf = feats.toPandas()
+    assert len(pdf) == 48
+    assert pdf["decode_ok"].all()
+    assert all(len(v) == FEATURE_DIM for v in pdf["feature"])
+    assert set(pdf["magic"]) > {"png", "jpeg"}
+    # deterministic across runs
+    pdf2 = extract_media_features(synth_media(spark, 48), decoder="fake").toPandas()
+    a = pdf.sort_values("doc_id")["feature"].map(tuple).tolist()
+    b = pdf2.sort_values("doc_id")["feature"].map(tuple).tolist()
+    assert a == b
+
+
+def test_multimodal_real_decoder_stub(spark):
+    media = synth_media(spark, 8)
+    pdf = extract_media_features(media, decoder="real").toPandas()
+    assert (~pdf["decode_ok"]).all()
+    assert pdf["decode_error"].str.contains("no codec library").all()
