@@ -12,5 +12,6 @@ from dup_ocropy_spark.operators import registry  # noqa: F401
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from dup_ocropy_spark.operators import (  # noqa: F401
-        dedup, relational, similarity, textstats, transcripts_queries,
+        dedup, relational, relational2, similarity, textstats,
+        transcripts_queries,
     )

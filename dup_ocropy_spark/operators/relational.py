@@ -160,12 +160,16 @@ _SEEDS_SQL = """
 
 def _blocks_seeds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     e = table(spark, sf_dir, "events")
+    # disambiguate the self-join: rename the key on each side (avoids the
+    # trivially-true `user_id == user_id` self-join hazard)
     blocks = (e.where(F.col("event_type") == "view")
-              .select(F.col("event_id").alias("block_id"), "user_id",
+              .select(F.col("event_id").alias("block_id"),
+                      F.col("user_id").alias("b_user"),
                       F.col("value").alias("bs"),
                       (F.col("value") + 3.0).alias("be")))
     seeds = (e.where(F.col("event_type") == "click")
-             .select(F.col("event_id").alias("seed_id"), "user_id",
+             .select(F.col("event_id").alias("seed_id"),
+                     F.col("user_id").alias("s_user"),
                      F.col("value").alias("ss"),
                      (F.col("value") + 5.0).alias("se"),
                      (F.col("event_id") % 7).alias("label")))
@@ -189,9 +193,9 @@ def _blocks_seeds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 def g11_propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
     j = blocks.join(F.broadcast(seeds),
-                    (blocks.user_id == seeds.user_id)
-                    & (blocks.bs < seeds.se) & (seeds.ss < blocks.be))
-    return (j.groupBy(blocks.user_id, "block_id")
+                    (F.col("b_user") == F.col("s_user"))
+                    & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
+    return (j.groupBy(F.col("b_user").alias("user_id"), F.col("block_id"))
             .agg(F.when(F.count_distinct("label") == 1, F.min("label"))
                  .otherwise(F.lit(0)).alias("resolved_label"),
                  F.count("*").alias("n_seed_matches")))
@@ -211,9 +215,10 @@ def g13_keep_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
     return blocks.join(
         F.broadcast(seeds),
-        (blocks.user_id == seeds.user_id) & (blocks.bs < seeds.se) & (seeds.ss < blocks.be),
+        (F.col("b_user") == F.col("s_user"))
+        & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")),
         "left_semi",
-    ).select("user_id", "block_id")
+    ).select(F.col("b_user").alias("user_id"), "block_id")
 
 
 @register(
@@ -229,9 +234,10 @@ def g14_remove_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
     return blocks.join(
         F.broadcast(seeds),
-        (blocks.user_id == seeds.user_id) & (blocks.bs < seeds.se) & (seeds.ss < blocks.be),
+        (F.col("b_user") == F.col("s_user"))
+        & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")),
         "left_anti",
-    ).select("user_id", "block_id")
+    ).select(F.col("b_user").alias("user_id"), "block_id")
 
 
 @register(
@@ -289,8 +295,8 @@ def g16_renumber_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g20_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
     j = blocks.join(F.broadcast(seeds),
-                    (blocks.user_id == seeds.user_id)
-                    & (blocks.bs < seeds.se) & (seeds.ss < blocks.be))
+                    (F.col("b_user") == F.col("s_user"))
+                    & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
     overlap = F.greatest(F.lit(0.0),
                          F.least("be", "se") - F.greatest("bs", "ss"))
     return j.select("block_id", "seed_id", F.round(overlap, 6).alias("overlap"))
@@ -477,9 +483,9 @@ def a4_confusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
              .where(F.col("prev_type").isNotNull())
              .groupBy("prev_type", "event_type").agg(F.count("*").alias("n")))
-    rk = F.row_number().over(W.orderBy(F.desc("n"), "prev_type", "event_type"))
-    return (pairs.select("prev_type", "event_type", "n", rk.alias("rk"))
-            .where(F.col("rk") <= 10).drop("rk"))
+    # global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition window at scale); total order => deterministic
+    return pairs.orderBy(F.desc("n"), "prev_type", "event_type").limit(10)
 
 
 @register(
@@ -628,8 +634,7 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (j.groupBy("l_orderkey", "o_orderdate")
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                 .alias("revenue")))
-    rk = F.row_number().over(W.orderBy(F.desc("revenue"), "l_orderkey"))
     return (agg.select("l_orderkey", "revenue",
-                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-                       rk.alias("rk"))
-            .where(F.col("rk") <= 10).drop("rk"))
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+            .orderBy(F.desc("revenue"), "l_orderkey")  # TakeOrderedAndProject
+            .limit(10))

@@ -1,0 +1,255 @@
+"""Second batch of relational recasts (SURVEY.md §2 rows not covered in
+relational.py): 1-D morphology, label spreading, box-map band filters,
+separator top-k, passthrough branching, escaping, requoting, and the
+xlevenshtein confusion extraction (Arrow-batch, rows-only)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dup_ocropy_spark.operators.registry import register, table
+
+
+@register(
+    "g5_rolling_extrema",
+    sql="""
+    SELECT event_id,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS dilated,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS eroded
+    FROM events
+    """,
+    doc="1-D morphology: rectangular dilation/erosion = rolling max/min "
+        "over the ordered stream (ocrolib/morph.py:50-120)",
+)
+def g5_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select("event_id",
+                    F.round(F.max("value").over(w), 6).alias("dilated"),
+                    F.round(F.min("value").over(w), 6).alias("eroded"))
+
+
+@register(
+    "g12_spread_labels",
+    sql="""
+    SELECT event_id, user_id,
+           CASE WHEN seed_label IS NOT NULL THEN seed_label
+                WHEN rn - last_seed_rn <= 3 THEN prev_label
+                ELSE 0 END AS spread_label
+    FROM (
+      SELECT event_id, user_id, seed_label, rn,
+             last_value(seed_label IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS prev_label,
+             max(CASE WHEN seed_label IS NOT NULL THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS last_seed_rn
+      FROM (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'click' THEN event_id % 7 END AS seed_label,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      )
+    )
+    """,
+    doc="spread_labels: nearest-seed fill capped at maxdist, via "
+        "last_value(ignore nulls) + row-distance compare (morph.py:126-133)",
+)
+def g12_spread_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w0 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "event_id", "user_id",
+        F.when(F.col("event_type") == "click", F.col("event_id") % 7).alias("seed_label"),
+        F.row_number().over(w0).alias("rn"))
+    w = W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    filled = base.select(
+        "event_id", "user_id", "seed_label", "rn",
+        F.last("seed_label", ignorenulls=True).over(w).alias("prev_label"),
+        F.max(F.when(F.col("seed_label").isNotNull(), F.col("rn"))).over(w)
+        .alias("last_seed_rn"))
+    spread = (F.when(F.col("seed_label").isNotNull(), F.col("seed_label"))
+              .when(F.col("rn") - F.col("last_seed_rn") <= 3, F.col("prev_label"))
+              .otherwise(F.lit(0)))
+    return filled.select("event_id", "user_id", spread.alias("spread_label"))
+
+
+@register(
+    "g2_boxmap_band",
+    sql="""
+    SELECT doc_id, round(sqrt(n_chars), 6) AS csize
+    FROM documents,
+         (SELECT quantile_cont(sqrt(n_chars), 0.5) AS scale FROM documents)
+    WHERE sqrt(n_chars) BETWEEN 0.5 * scale AND 4.0 * scale
+    """,
+    doc="compute_boxmap: keep components whose size sits in a band around "
+        "the document scale (psegutils.py:55-63)",
+)
+def g2_boxmap_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scale = d.agg(F.percentile(F.sqrt("n_chars"), F.lit(0.5)).alias("scale"))
+    return (d.crossJoin(F.broadcast(scale))
+            .where(F.sqrt("n_chars").between(0.5 * F.col("scale"), 4.0 * F.col("scale")))
+            .select("doc_id", F.round(F.sqrt("n_chars"), 6).alias("csize")))
+
+
+@register(
+    "g6_top_separator_runs",
+    sql="""
+    SELECT user_id, run_id, n_events FROM (
+      SELECT user_id, run_id, n_events,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC, run_id) AS rk
+      FROM (
+        SELECT user_id, run_id, count(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type IS DISTINCT FROM
+                             lag(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events
+          )
+        ) GROUP BY user_id, run_id
+      )
+    ) WHERE rk <= 3
+    """,
+    doc="compute_separators top-k: keep the maxseps longest candidate "
+        "separators per page (ocropus-gpageseg:177-186 + select_regions)",
+)
+def g6_top_separator_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dup_ocropy_spark.operators.relational import _run_label_df
+
+    runs = (_run_label_df(spark, sf_dir)
+            .groupBy("user_id", "run_id").agg(F.count("*").alias("n_events")))
+    rk = F.row_number().over(W.partitionBy("user_id")
+                             .orderBy(F.desc("n_events"), "run_id"))
+    return (runs.select("user_id", "run_id", "n_events", rk.alias("rk"))
+            .where(F.col("rk") <= 3).drop("rk"))
+
+
+@register(
+    "p8_passthrough_branch",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                     / length(text) > 0.95
+                THEN 'passthrough' ELSE 'flatten' END AS branch
+    FROM documents WHERE length(text) > 0
+    """,
+    doc="already-binary shortcut: skip flattening when >=95%% of the "
+        "payload is already in the target alphabet (ocropus-nlbin:192-199)",
+)
+def p8_passthrough_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    frac = (F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text"))
+    return d.select("doc_id",
+                    F.when(frac > 0.95, "passthrough").otherwise("flatten")
+                    .alias("branch"))
+
+
+@register(
+    "h5_escape",
+    sql="""
+    SELECT doc_id,
+           md5(replace(replace(text, '&', '&amp;'), '<', '&lt;')) AS escaped_md5
+    FROM documents
+    """,
+    doc="hOCR entity escaping (ocropus-hocr:125-126) as a replace chain",
+)
+def h5_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                    F.lit("<"), F.lit("&lt;"))
+    return d.select("doc_id", F.md5(esc).alias("escaped_md5"))
+
+
+@register(
+    "t3_requote",
+    sql="""
+    SELECT doc_id, replace(text, '''''', '"') AS requoted
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="requote: doubled straight quotes -> typewriter double quote "
+        "(ocrolib/chars.py:61-64)",
+)
+def t3_requote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select("doc_id",
+                    F.replace(F.col("text"), F.lit("''"), F.lit('"')).alias("requoted"))
+
+
+# ---------------------------------------------------------------------------
+# xlevenshtein with confusion extraction: genuinely non-SQL (DP backtrace);
+# Arrow-batch kernel + JVM explode/agg on top (rows-only check)
+# ---------------------------------------------------------------------------
+
+_XLEV_SCHEMA = ("doc_id long, err double, "
+                "confusions array<struct<pred:string,gt:string>>")
+
+
+def _xlev_batch(batches):
+    from dup_ocropy_spark.kernels.edist import xlevenshtein
+
+    for pdf in batches:
+        rows = []
+        for _, r in pdf.iterrows():
+            err, conf = xlevenshtein(r["pred"], r["gt"]) if r["gt"] else (0.0, [])
+            rows.append({"doc_id": r["doc_id"], "err": err,
+                         "confusions": [{"pred": a, "gt": b} for a, b in conf]})
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "a2_xlevenshtein_confusions",
+    sql=None,  # DP alignment + backtrace is not SQL-expressible
+    doc="xlevenshtein: edit distance with context-windowed confusion pairs "
+        "(ocrolib/edist.py:21-83); Arrow batch kernel, then JVM "
+        "explode+groupBy top-k (the econf reduce)",
+)
+def a2_xlevenshtein_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dup_ocropy_spark.operators.relational import _doc_pairs
+
+    pairs = _doc_pairs(spark, sf_dir)
+    xl = pairs.mapInPandas(_xlev_batch, schema=_XLEV_SCHEMA)
+    conf = (xl.select(F.explode("confusions").alias("c"))
+            .groupBy(F.col("c.pred").alias("pred"), F.col("c.gt").alias("gt"))
+            .agg(F.count("*").alias("n")))
+    return conf.orderBy(F.desc("n"), "pred", "gt").limit(20)
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT doc_a, doc_b, cos FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos
+      FROM (SELECT * FROM embeddings WHERE vec_id < 100) a
+      JOIN embeddings b ON b.vec_id > a.vec_id
+    ) WHERE cos >= 0.5
+    """,
+    doc="embedding-cosine near-dup pairs: the semantic-dedup variant "
+        "(exact baseline; ann_lsh_topk is the bucketed scale path)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dup_ocropy_spark.operators.similarity import _cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    a = (e.where(F.col("vec_id") < 100)
+         .select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea")))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    j = F.broadcast(a).join(b, F.col("doc_b") > F.col("doc_a"))
+    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    return (j.select("doc_a", "doc_b", cos.alias("cos"))
+            .where(F.col("cos") >= 0.5))
