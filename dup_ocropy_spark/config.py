@@ -35,6 +35,12 @@ class ExtractConfig:
     content_threshold: float = 0.5
     classifier: str = "rule"  # "rule" | "logistic"
     normalize: bool = True
+    # trained logistic parameters (operators/train.py); None -> the
+    # hand-set defaults in kernels/classify.py. Tuple so the config stays
+    # frozen/hashable; tiny enough to ride the task closure (bigger models
+    # go through sparkContext.broadcast instead).
+    weights: tuple[float, ...] | None = None
+    bias: float | None = None
 
     # Spark-side knobs
     salt_buckets: int = 64           # salted repartition buckets (north_rule skew)

@@ -105,6 +105,9 @@ def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
     """
     if not blocks:
         return blocks
+    if weights is None and config.weights is not None:
+        weights = np.asarray(config.weights, dtype=np.float64)
+        bias = config.bias
     X = block_features(blocks)
     scores = logistic_scores(X, weights, bias)
     for b, sc in zip(blocks, scores):

@@ -1,0 +1,94 @@
+"""Classifier training job (reference L5/L7 analog, Spark-first).
+
+The reference trains its line recognizer with per-sample SGD inside one
+process (``ocropus-rtrain:277-330``, ``ocrolib/lstm.py:429-468``). Here
+the model is the per-block logistic scorer (classify.py): the feature
+extraction fans out over Spark (the expensive part — segmentation of
+every payload), while the tiny convex fit runs on a bounded driver-side
+sample (weights are 9 floats; for bigger models swap in
+``applyInPandas`` per-shard fits + weight averaging, same plumbing).
+
+Labels come from the rule classifier — the training objective is
+distillation: make the logistic path agree with the deterministic rule
+oracle so either can serve, with scores usable for threshold tuning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.kernels.classify import FEATURE_NAMES, block_features, classify_blocks
+from dup_ocropy_spark.kernels.segment import segment_payload
+
+FEATURES_SCHEMA = (", ".join(f"{n} double" for n in FEATURE_NAMES)
+                   + ", label int")
+
+
+def _features_batch(batches):
+    """payloads -> (features, rule label) rows; noise blocks excluded
+    (they are gated, not classified)."""
+    for pdf in batches:
+        rows = []
+        for text, tool in zip(pdf.get("text", ""), pdf.get("tool", "")):
+            payload = tool if isinstance(tool, str) and tool else (text or "")
+            if not isinstance(payload, str) or len(payload.strip()) < 20:
+                continue
+            blocks = segment_payload(payload)
+            if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
+                continue
+            classify_blocks(blocks)  # rule labels
+            X = block_features(blocks)
+            for b, x in zip(blocks, X):
+                if b.label == "noise":
+                    continue
+                rows.append(list(x) + [1 if b.label == "content" else 0])
+        if rows:
+            yield pd.DataFrame(rows, columns=[*FEATURE_NAMES, "label"])
+
+
+def block_training_frame(transcripts: DataFrame) -> DataFrame:
+    """Distributed feature/label extraction over the transcript table."""
+    cols = [c for c in ("text", "tool") if c in transcripts.columns]
+    return transcripts.select(*cols).mapInPandas(_features_batch,
+                                                 schema=FEATURES_SCHEMA)
+
+
+def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
+                 lr: float = 0.5, seed: int = 42) -> tuple[np.ndarray, float]:
+    """Deterministic full-batch gradient descent on a bounded sample."""
+    pdf = features.limit(sample).toPandas()
+    X = pdf[list(FEATURE_NAMES)].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    # standardize for conditioning, fold the scaling back into the weights
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal(Xs.shape[1]) * 0.01
+    b = 0.0
+    n = len(y)
+    for _ in range(epochs):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (Xs.T @ g) / n
+        b -= lr * g.mean()
+    w_raw = w / sd
+    b_raw = b - float((w * mu / sd).sum())
+    return w_raw, b_raw
+
+
+def train_classifier(transcripts: DataFrame, **fit_kw) -> tuple[np.ndarray, float, float]:
+    """-> (weights, bias, train_accuracy_vs_rule_labels)."""
+    feats = block_training_frame(transcripts)
+    w, b = fit_logistic(feats, **fit_kw)
+    pdf = feats.limit(50_000).toPandas()
+    X = pdf[list(FEATURE_NAMES)].to_numpy(dtype=np.float64)
+    y = pdf["label"].to_numpy()
+    pred = (X @ w + b) >= 0
+    acc = float((pred == (y == 1)).mean())
+    return w, b, acc

@@ -1,0 +1,63 @@
+"""Classifier training (L5/L7 analog) + evaluation pipeline (errs/econf)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dup_ocropy_spark.config import ExtractConfig
+from dup_ocropy_spark.operators.train import train_classifier
+from dup_ocropy_spark.plans.evaluate import confusion_topk, error_rate, per_turn_errors
+from dup_ocropy_spark.plans.extract import extract
+from dup_ocropy_spark.sources.transcripts import synth_expected, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def train_convs(spark):
+    return synth_transcripts(spark, 40).cache()
+
+
+def test_trained_logistic_distills_rule_labels(spark, train_convs):
+    w, b, acc = train_classifier(train_convs, epochs=200)
+    assert acc >= 0.98, f"train accuracy {acc}"
+    # trained weights flow through the distributed pipeline end-to-end on
+    # HELD-OUT conversations and reproduce the rule pipeline's extraction
+    # almost everywhere
+    held_out = synth_transcripts(spark, 60).where(F.col("conv_id") > "conv00000039")
+    cfg = ExtractConfig(classifier="logistic", weights=tuple(w), bias=float(b))
+    got = extract(held_out, cfg).select("conv_id", "turn_idx", "extracted_text")
+    want = extract(held_out).select("conv_id", "turn_idx",
+                                    F.col("extracted_text").alias("want"))
+    j = got.join(want, ["conv_id", "turn_idx"])
+    n = j.count()
+    n_match = j.where(F.col("extracted_text") == F.col("want")).count()
+    assert n_match / n >= 0.97, f"{n_match}/{n} turns match rule pipeline"
+
+
+def test_eval_zero_cer_against_ground_truth(spark, train_convs):
+    pred = extract(train_convs)
+    gt = synth_expected(spark, 40)
+    errs = per_turn_errors(pred, gt)
+    row = error_rate(errs).collect()[0]
+    assert row["cer"] == 0.0
+    assert row["n_missing"] == 0
+    assert row["n_turns"] == gt.count()
+
+
+def test_eval_missing_and_confusions(spark, train_convs):
+    gt = synth_expected(spark, 40)
+    # corrupt: drop some predictions, perturb others
+    pred = extract(train_convs).where(F.col("turn_idx") % 13 != 5)
+    pred = pred.withColumn(
+        "extracted_text",
+        F.when(F.col("turn_idx") % 11 == 3,
+               F.concat(F.col("extracted_text"), F.lit(" xqz")))
+        .otherwise(F.col("extracted_text")))
+    errs = per_turn_errors(pred, gt)
+    row = error_rate(errs).collect()[0]
+    assert row["n_missing"] > 0
+    assert row["cer"] > 0.0
+    conf = confusion_topk(errs, k=5).collect()
+    assert conf and conf[0]["n"] >= 1
+    # the planted perturbation dominates the confusion table
+    assert any("xqz" in (c["pred_part"] or "") for c in conf)
