@@ -23,8 +23,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# dev convenience: running the file directly (no --py-files zip) puts
+# jobs/ on sys.path; add the repo root so the package resolves either way
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv: list[str]) -> int:

@@ -1,0 +1,74 @@
+"""Property-based invariants over the extraction kernels (hypothesis).
+
+The reference has no randomized testing (SURVEY.md §5.7); these guard the
+kernel contracts the distributed layer depends on: never crash, spans
+in-bounds/ordered/disjoint, idempotent determinism, normalization
+round-trip safety.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from dup_ocropy_spark.kernels import extract_turn, normalize_text, segment_payload
+from dup_ocropy_spark.kernels.edist import levenshtein
+
+# payload soup: text, markup-ish fragments, separators, unicode stress
+_frag = st.one_of(
+    st.text(max_size=40),
+    st.sampled_from([
+        "<p>", "</p>", "<nav>", "</nav>", "<a href=x>", "</a>", "<hr>",
+        "<script>", "</script>", "\n\n", "\f", "----\n", "=====\n",
+        "&amp;", "&lt;", "“q” ﬁne–x…", "\U0001F600", "<div", ">>",
+        "<!-- c -->", "<p attr='a>b'>",
+    ]),
+)
+payloads = st.lists(_frag, max_size=30).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_extract_never_crashes_and_spans_wellformed(payload):
+    r = extract_turn(payload)
+    assert isinstance(r["extracted_text"], str)
+    last = -1
+    for s in r["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(payload)
+        assert s["start"] >= last, "spans must be ordered and disjoint"
+        last = s["end"]
+        assert s["label"] == "content"
+    if r["reject_reason"] in ("empty", "blank", "too_short", "too_long",
+                              "too_many_blocks"):
+        assert r["extracted_text"] == "" and r["spans"] == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_extract_deterministic(payload):
+    assert extract_turn(payload) == extract_turn(payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_segment_ids_dense_and_ordered(payload):
+    blocks = segment_payload(payload)
+    assert [b.block_id for b in blocks] == list(range(len(blocks)))
+    starts = [b.start for b in blocks]
+    assert starts == sorted(starts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abc ", max_size=12), st.text(alphabet="abc ", max_size=12),
+       st.text(alphabet="abc ", max_size=12))
+def test_levenshtein_metric_properties(a, b, c):
+    assert levenshtein(a, b) == levenshtein(b, a)
+    assert levenshtein(a, b) >= abs(len(a) - len(b))
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+    assert (levenshtein(a, b) == 0) == (a == b)
