@@ -49,7 +49,8 @@ def sf_from_dir(sf_dir: str) -> float:
 def ensure_bench_transcripts(spark, sf: float) -> str:
     """Materialize (once) the deterministic transcript table for this sf;
     generation is excluded from timed sections."""
-    n_convs = max(200, int(CONVS_PER_SF * sf))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "0")) \
+        or max(200, int(CONVS_PER_SF * sf))
     path = os.path.join(CACHE_ROOT, f"transcripts_n{n_convs}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -140,7 +141,11 @@ def _scaling_point(cpus: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=SF_DIR,
                SPARK_GRAFT_AFFINITY=f"0-{cpus - 1}",
-               SPARK_GRAFT_BENCH_ONLY_EXTRACT="1")
+               SPARK_GRAFT_BENCH_ONLY_EXTRACT="1",
+               # 4x the per-round table so the fastest config still runs
+               # ~15s+ of steady state (fixed stage overhead <5%)
+               SPARK_GRAFT_BENCH_CONVS=os.environ.get(
+                   "SPARK_GRAFT_BENCH_CONVS", "72000"))
     out = subprocess.run([sys.executable, __file__], env=env,
                          capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]

@@ -44,7 +44,11 @@ class ExtractConfig:
 
     # Spark-side knobs
     salt_buckets: int = 64           # salted repartition buckets (north_rule skew)
-    arrow_batch_rows: int = 512      # cap Arrow batch size on fat payloads
+    # Arrow batch row cap: measured optimum for ~KB-sized payloads
+    # (71.6k turns/s at 2048 vs 50.1k at 512 on local[32]); lower it for
+    # fat-payload tables — the worst-case batch footprint is
+    # rows x max_payload_chars (2048 x 1MB = 2GB), so size to executor RAM
+    arrow_batch_rows: int = 2048
 
 
 DEFAULT_CONFIG = ExtractConfig()

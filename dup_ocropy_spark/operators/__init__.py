@@ -12,6 +12,6 @@ from dup_ocropy_spark.operators import registry  # noqa: F401
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from dup_ocropy_spark.operators import (  # noqa: F401
-        dedup, relational, relational2, similarity, textstats,
+        dedup, relational, relational2, relational3, similarity, textstats,
         transcripts_queries,
     )
