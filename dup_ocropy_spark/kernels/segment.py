@@ -131,26 +131,36 @@ class _Assembler:
         forced boundaries, flushing between pieces."""
         if s >= e:
             return
-        # forced boundary offsets inside this slice (mask-join analog)
-        bounds = [s] + [p for p in self.forced if s < p < e] + [e]
-        for i in range(len(bounds) - 1):
-            if i > 0:
-                self.flush()
-            self._add_piece(bounds[i], bounds[i + 1], in_link, boiler, kind)
+        if self.forced:
+            # forced boundary offsets inside this slice (mask-join analog)
+            bounds = [s] + [p for p in self.forced if s < p < e] + [e]
+            for i in range(len(bounds) - 1):
+                if i > 0:
+                    self.flush()
+                self._add_piece(bounds[i], bounds[i + 1], in_link, boiler, kind)
+        else:
+            self._add_piece(s, e, in_link, boiler, kind)
 
     def _add_piece(self, s: int, e: int, in_link: bool, boiler: bool, kind: str) -> None:
         text = self.payload[s:e]
-        last = 0
-        for mm in _PLAIN_SEP_RE.finditer(text):
-            self._emit(s + last, s + mm.start(), text[last:mm.start()], in_link, boiler, kind)
-            self.flush()
-            last = mm.end()
-        self._emit(s + last, e, text[last:], in_link, boiler, kind)
+        # fast path: every separator needs \n, \f, or a whole-piece rule
+        # line (^...$ matches piece edges); most inter-tag runs have none
+        if ("\n" in text or "\f" in text
+                or text.lstrip(" \t")[:1] in ("-", "=", "_", "*")):
+            last = 0
+            for mm in _PLAIN_SEP_RE.finditer(text):
+                self._emit(s + last, s + mm.start(), text[last:mm.start()],
+                           in_link, boiler, kind)
+                self.flush()
+                last = mm.end()
+            self._emit(s + last, e, text[last:], in_link, boiler, kind)
+        else:
+            self._emit(s, e, text, in_link, boiler, kind)
 
     def _emit(self, s: int, e: int, text: str, in_link: bool, boiler: bool, kind: str) -> None:
         if not text:
             return
-        decoded = _html.unescape(text)
+        decoded = _html.unescape(text) if "&" in text else text
         lc = len(decoded) if in_link else 0
         if not self.segs:
             self.kind = kind

@@ -7,13 +7,17 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; CI the driver gate scale with
+#   SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 

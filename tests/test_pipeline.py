@@ -142,3 +142,24 @@ def test_write_transcripts_scrambled_then_reordered(spark, tmp_path):
     out = ordered(extract(df)).select("conv_id", "turn_idx").toPandas()
     keys = list(zip(out["conv_id"], out["turn_idx"]))
     assert keys == sorted(keys)
+
+
+def test_mask_column_forces_boundaries(spark):
+    """J5/G8 analog: an optional per-turn mask column splits blocks at the
+    given raw offsets, end-to-end through the distributed stage."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pd.array([0, 1], dtype="int32"),
+        "role": ["user", "user"],
+        "text": ["aaaa bbbb cccc dddd eeee ffff gggg hhhh"] * 2,
+        "tool": ["", ""],
+        "mask": [None, [20]],
+    })
+    df = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, "
+             "tool string, mask array<int>")
+    out = extract(df).orderBy("turn_idx").collect()
+    assert [(s["start"], s["end"]) for s in out[0].spans] == [(0, 39)]
+    assert [(s["start"], s["end"]) for s in out[1].spans] == [(0, 19), (20, 39)]
