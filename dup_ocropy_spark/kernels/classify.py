@@ -94,6 +94,30 @@ def logistic_scores(X: np.ndarray, weights: np.ndarray | None = None,
     return 1.0 / (1.0 + np.exp(-z))
 
 
+def context_features(X: np.ndarray) -> np.ndarray:
+    """Bidirectional block context (reference L6 BIDILSTM analog): each
+    block sees its own features plus its predecessor's and successor's
+    (zeros at document edges) — the 1-D forward+backward pass over the
+    block sequence, without recurrent state."""
+    n, d = X.shape
+    prev_x = np.zeros_like(X)
+    next_x = np.zeros_like(X)
+    if n > 1:
+        prev_x[1:] = X[:-1]
+        next_x[:-1] = X[1:]
+    return np.hstack([X, prev_x, next_x])
+
+
+CTX_FEATURE_NAMES = tuple(
+    [*FEATURE_NAMES,
+     *[f"prev_{n}" for n in FEATURE_NAMES],
+     *[f"next_{n}" for n in FEATURE_NAMES]]
+)
+
+# untrained default: own-feature weights, neighbors zero (== plain logistic)
+CTX_WEIGHTS = np.concatenate([LOGISTIC_WEIGHTS, np.zeros(2 * len(FEATURE_NAMES))])
+
+
 def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
                     weights: np.ndarray | None = None,
                     bias: float | None = None) -> list[Block]:
@@ -109,12 +133,17 @@ def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
         weights = np.asarray(config.weights, dtype=np.float64)
         bias = config.bias
     X = block_features(blocks)
+    if config.classifier == "logistic_ctx":
+        X = context_features(X)
+        if weights is None:
+            weights, bias = CTX_WEIGHTS, LOGISTIC_BIAS
     scores = logistic_scores(X, weights, bias)
+    model_mode = config.classifier in ("logistic", "logistic_ctx")
     for b, sc in zip(blocks, scores):
         b.score = float(sc)
         if b.n_visible < config.noise_min_chars:
             b.label = "noise"
-        elif config.classifier == "logistic":
+        elif model_mode:
             b.label = "content" if sc >= config.content_threshold else "boilerplate"
         else:  # rule mode: deterministic ground truth by construction
             if b.boiler:

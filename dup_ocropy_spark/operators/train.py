@@ -20,47 +20,60 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
-from dup_ocropy_spark.kernels.classify import FEATURE_NAMES, block_features, classify_blocks
+from dup_ocropy_spark.kernels.classify import (
+    CTX_FEATURE_NAMES, FEATURE_NAMES, block_features, classify_blocks,
+    context_features,
+)
 from dup_ocropy_spark.kernels.segment import segment_payload
 
-FEATURES_SCHEMA = (", ".join(f"{n} double" for n in FEATURE_NAMES)
-                   + ", label int")
+
+def _feature_names(context: bool) -> tuple[str, ...]:
+    return CTX_FEATURE_NAMES if context else FEATURE_NAMES
 
 
-def _features_batch(batches):
-    """payloads -> (features, rule label) rows; noise blocks excluded
-    (they are gated, not classified)."""
-    for pdf in batches:
-        rows = []
-        for text, tool in zip(pdf.get("text", ""), pdf.get("tool", "")):
-            payload = tool if isinstance(tool, str) and tool else (text or "")
-            if not isinstance(payload, str) or len(payload.strip()) < 20:
-                continue
-            blocks = segment_payload(payload)
-            if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
-                continue
-            classify_blocks(blocks)  # rule labels
-            X = block_features(blocks)
-            for b, x in zip(blocks, X):
-                if b.label == "noise":
+def _features_batch_fn(context: bool):
+    def _features_batch(batches):
+        """payloads -> (features, rule label) rows; noise blocks excluded
+        (they are gated, not classified)."""
+        names = _feature_names(context)
+        for pdf in batches:
+            rows = []
+            for text, tool in zip(pdf.get("text", ""), pdf.get("tool", "")):
+                payload = tool if isinstance(tool, str) and tool else (text or "")
+                if not isinstance(payload, str) or len(payload.strip()) < 20:
                     continue
-                rows.append(list(x) + [1 if b.label == "content" else 0])
-        if rows:
-            yield pd.DataFrame(rows, columns=[*FEATURE_NAMES, "label"])
+                blocks = segment_payload(payload)
+                if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
+                    continue
+                classify_blocks(blocks)  # rule labels
+                X = block_features(blocks)
+                if context:
+                    X = context_features(X)  # L6 bidi-context frame
+                for b, x in zip(blocks, X):
+                    if b.label == "noise":
+                        continue
+                    rows.append(list(x) + [1 if b.label == "content" else 0])
+            if rows:
+                yield pd.DataFrame(rows, columns=[*names, "label"])
+
+    return _features_batch
 
 
-def block_training_frame(transcripts: DataFrame) -> DataFrame:
+def block_training_frame(transcripts: DataFrame, context: bool = False) -> DataFrame:
     """Distributed feature/label extraction over the transcript table."""
+    schema = (", ".join(f"{n} double" for n in _feature_names(context))
+              + ", label int")
     cols = [c for c in ("text", "tool") if c in transcripts.columns]
-    return transcripts.select(*cols).mapInPandas(_features_batch,
-                                                 schema=FEATURES_SCHEMA)
+    return transcripts.select(*cols).mapInPandas(_features_batch_fn(context),
+                                                 schema=schema)
 
 
 def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
-                 lr: float = 0.5, seed: int = 42) -> tuple[np.ndarray, float]:
+                 lr: float = 0.5, seed: int = 42,
+                 context: bool = False) -> tuple[np.ndarray, float]:
     """Deterministic full-batch gradient descent on a bounded sample."""
     pdf = features.limit(sample).toPandas()
-    X = pdf[list(FEATURE_NAMES)].to_numpy(dtype=np.float64)
+    X = pdf[list(_feature_names(context))].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
     # standardize for conditioning, fold the scaling back into the weights
     mu = X.mean(axis=0)
@@ -82,12 +95,17 @@ def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
     return w_raw, b_raw
 
 
-def train_classifier(transcripts: DataFrame, **fit_kw) -> tuple[np.ndarray, float, float]:
-    """-> (weights, bias, train_accuracy_vs_rule_labels)."""
-    feats = block_training_frame(transcripts)
-    w, b = fit_logistic(feats, **fit_kw)
+def train_classifier(transcripts: DataFrame, context: bool = False,
+                     **fit_kw) -> tuple[np.ndarray, float, float]:
+    """-> (weights, bias, train_accuracy_vs_rule_labels).
+
+    ``context=True`` trains the bidirectional-context variant (L6 analog,
+    24 features) for ``ExtractConfig(classifier='logistic_ctx')``.
+    """
+    feats = block_training_frame(transcripts, context=context)
+    w, b = fit_logistic(feats, context=context, **fit_kw)
     pdf = feats.limit(50_000).toPandas()
-    X = pdf[list(FEATURE_NAMES)].to_numpy(dtype=np.float64)
+    X = pdf[list(_feature_names(context))].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy()
     pred = (X @ w + b) >= 0
     acc = float((pred == (y == 1)).mean())
