@@ -38,6 +38,23 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_count_bpe",
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting: word/number/punct pieces via a portable "
+        "regex (the GPT-2 pretokenizer shape, ASCII-simplified)",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    return d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+@register(
     "quality_score",
     sql=r"""
     SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,

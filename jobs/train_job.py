@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: train the block classifier, write a model
+artifact (see sources/models.py).
+
+    spark-submit --py-files dup_ocropy_spark.zip jobs/train_job.py \
+        --input <transcripts> --model-out /path/model.json [--context]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--model-out", required=True)
+    ap.add_argument("--context", action="store_true",
+                    help="train the bidirectional-context variant (L6 analog)")
+    ap.add_argument("--sample", type=int, default=100_000)
+    ap.add_argument("--epochs", type=int, default=300)
+    args = ap.parse_args(argv)
+
+    from dup_ocropy_spark.operators.train import train_classifier
+    from dup_ocropy_spark.session import get_spark
+    from dup_ocropy_spark.sources.models import save_model
+
+    spark = get_spark(app_name="dup_ocropy_train")
+    transcripts = spark.read.parquet(args.input)
+    w, b, acc = train_classifier(transcripts, context=args.context,
+                                 sample=args.sample, epochs=args.epochs)
+    kind = "logistic_ctx" if args.context else "logistic"
+    save_model(args.model_out, w, b, kind=kind,
+               meta={"train_accuracy": acc, "input": args.input})
+    print(json.dumps({"model": args.model_out, "kind": kind,
+                      "train_accuracy": round(acc, 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
