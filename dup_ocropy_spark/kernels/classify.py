@@ -117,6 +117,26 @@ CTX_FEATURE_NAMES = tuple(
 # untrained default: own-feature weights, neighbors zero (== plain logistic)
 CTX_WEIGHTS = np.concatenate([LOGISTIC_WEIGHTS, np.zeros(2 * len(FEATURE_NAMES))])
 
+# one reconstructed-model cache per worker: flat weights -> TinyBiLSTM
+# (rebuilt once per executor process, exactly the load-once-per-worker
+# pattern of the reference's model inheritance across fork)
+_LSTM_CACHE: dict[bytes, object] = {}
+
+
+def _lstm_scores(X: np.ndarray, flat: np.ndarray | None) -> np.ndarray:
+    from dup_ocropy_spark.kernels.lstm import TinyBiLSTM
+
+    if flat is None:
+        raise ValueError("classifier='lstm' requires trained weights "
+                         "(ExtractConfig.weights from a saved model)")
+    key = np.asarray(flat).tobytes()
+    model = _LSTM_CACHE.get(key)
+    if model is None:
+        model = TinyBiLSTM.from_flat(np.asarray(flat), n_in=X.shape[1])
+        _LSTM_CACHE.clear()
+        _LSTM_CACHE[key] = model
+    return model.scores(X)
+
 
 def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
                     weights: np.ndarray | None = None,
@@ -133,12 +153,15 @@ def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
         weights = np.asarray(config.weights, dtype=np.float64)
         bias = config.bias
     X = block_features(blocks)
-    if config.classifier == "logistic_ctx":
-        X = context_features(X)
-        if weights is None:
-            weights, bias = CTX_WEIGHTS, LOGISTIC_BIAS
-    scores = logistic_scores(X, weights, bias)
-    model_mode = config.classifier in ("logistic", "logistic_ctx")
+    if config.classifier == "lstm":
+        scores = _lstm_scores(X, weights)
+    else:
+        if config.classifier == "logistic_ctx":
+            X = context_features(X)
+            if weights is None:
+                weights, bias = CTX_WEIGHTS, LOGISTIC_BIAS
+        scores = logistic_scores(X, weights, bias)
+    model_mode = config.classifier in ("logistic", "logistic_ctx", "lstm")
     for b, sc in zip(blocks, scores):
         b.score = float(sc)
         if b.n_visible < config.noise_min_chars:

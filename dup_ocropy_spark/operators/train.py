@@ -95,6 +95,42 @@ def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
     return w_raw, b_raw
 
 
+def sequence_training_data(n_convs: int = 60) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-document (block-feature sequence, per-block rule labels) pairs
+    from the deterministic synthetic corpus — offline LSTM training data
+    (the reference trains single-process too, ocropus-rtrain:277-330)."""
+    from dup_ocropy_spark.sources.transcripts import synth_conv
+
+    sequences: list[np.ndarray] = []
+    labels: list[np.ndarray] = []
+    for ci in range(n_convs):
+        tdf, _ = synth_conv(ci)
+        for text, tool in zip(tdf["text"], tdf["tool"]):
+            payload = tool if tool else text
+            if not payload or len(payload.strip()) < 20:
+                continue
+            blocks = segment_payload(payload)
+            if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
+                continue
+            classify_blocks(blocks)
+            sequences.append(block_features(blocks))
+            labels.append(np.array([1.0 if b.label == "content" else 0.0
+                                    for b in blocks]))
+    return sequences, labels
+
+
+def train_lstm(n_convs: int = 60, epochs: int = 60, lr: float = 0.05,
+               seed: int = 42):
+    """Train the TinyBiLSTM recognizer (L4/L5) by distilling rule labels
+    over block sequences. Returns (model, train_accuracy)."""
+    from dup_ocropy_spark.kernels.lstm import TinyBiLSTM
+
+    sequences, labels = sequence_training_data(n_convs)
+    model = TinyBiLSTM(n_in=len(FEATURE_NAMES), seed=seed)
+    acc = model.fit(sequences, labels, epochs=epochs, lr=lr)
+    return model, acc
+
+
 def train_classifier(transcripts: DataFrame, context: bool = False,
                      **fit_kw) -> tuple[np.ndarray, float, float]:
     """-> (weights, bias, train_accuracy_vs_rule_labels).

@@ -22,15 +22,24 @@ FORMAT_VERSION = 1
 _KIND_FEATURES = {
     "logistic": FEATURE_NAMES,
     "logistic_ctx": CTX_FEATURE_NAMES,
+    "lstm": FEATURE_NAMES,  # inputs; the flat vector packs all LSTM params
 }
+
+
+def _expected_len(kind: str) -> int:
+    if kind == "lstm":
+        from dup_ocropy_spark.kernels.lstm import TinyBiLSTM
+
+        return len(TinyBiLSTM(len(FEATURE_NAMES)).to_flat())
+    return len(_KIND_FEATURES[kind])
 
 
 def save_model(path: str, weights: np.ndarray, bias: float,
                kind: str = "logistic", meta: dict | None = None) -> None:
     names = _KIND_FEATURES[kind]
     w = np.asarray(weights).ravel()
-    if len(w) != len(names):
-        raise ValueError(f"{kind} expects {len(names)} weights, got {len(w)}")
+    if len(w) != _expected_len(kind):
+        raise ValueError(f"{kind} expects {_expected_len(kind)} weights, got {len(w)}")
     obj = {
         "format_version": FORMAT_VERSION,
         "kind": kind,
