@@ -96,6 +96,44 @@ def extract_documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s.label").alias("label"))
 
 
+_HTML_PREFIX = '<nav><a href="/">Nav home link row</a></nav><h1>'
+_HTML_MID = "</h1><p>"
+_HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
+                "<footer>Footer legal boilerplate text</footer>")
+
+
+@register(
+    "extract_documents_html",
+    sql=f"""
+    SELECT doc_id,
+           trim(regexp_replace(substr(text, 1, 30), '\\s+', ' ', 'g'))
+             || chr(10) ||
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
+           2 AS n_content,
+           4 AS n_blocks
+    FROM documents
+    """,
+    doc="HTML boilerplate-strip path, DuckDB-verified: documents text is "
+        "wrapped in nav/h1/p/script/footer markup JVM-side, the real "
+        "extraction kernel strips the furniture, and the oracle predicts "
+        "heading+body exactly (nav/script/footer must vanish)",
+)
+def extract_documents_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(_HTML_PREFIX), F.substring("text", 1, 30),
+                       F.lit(_HTML_MID), F.col("text"), F.lit(_HTML_SUFFIX))
+    tr = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit("").alias("tool"),
+    )
+    out = extract(tr)
+    return out.select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                      "extracted_text", "n_content", "n_blocks")
+
+
 @register(
     "extract_transcripts_synth",
     sql=None,  # full HTML path; equality vs construction GT is in pytest
