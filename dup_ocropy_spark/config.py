@@ -6,7 +6,7 @@ Every threshold mirrors a validation gate or default of the reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

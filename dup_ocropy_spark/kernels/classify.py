@@ -19,16 +19,11 @@ states at ``ocrolib/lstm.py:8-12``.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
 from dup_ocropy_spark.kernels.segment import Block
 
-_WORD_RE = re.compile(r"[A-Za-z][A-Za-z']*")
-_DIGIT_RE = re.compile(r"[0-9]")
-_PUNCT_RE = re.compile(r"[.,;:!?]")
 
 # Tiny function-word list for the stopword-ratio feature (language-ID
 # heuristics use a larger table in operators/textstats.py).

@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary, "
                 "meta struct<width:int, height:int, sample_rate:int, codec:string>")

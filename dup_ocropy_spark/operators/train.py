@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.config import DEFAULT_CONFIG
 from dup_ocropy_spark.kernels.classify import (
     CTX_FEATURE_NAMES, FEATURE_NAMES, block_features, classify_blocks,
     context_features,

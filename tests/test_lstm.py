@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from dup_ocropy_spark.config import ExtractConfig
 from dup_ocropy_spark.kernels.classify import FEATURE_NAMES
 from dup_ocropy_spark.kernels.lstm import TinyBiLSTM, _sigmoid
 from dup_ocropy_spark.operators.train import sequence_training_data, train_lstm

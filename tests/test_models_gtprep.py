@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from dup_ocropy_spark.config import ExtractConfig
 from dup_ocropy_spark.kernels.classify import (
     CTX_FEATURE_NAMES, CTX_WEIGHTS, FEATURE_NAMES, block_features,
     context_features, logistic_scores,

@@ -13,7 +13,7 @@ from dup_ocropy_spark.plans.extract import conversation_text, extract, ordered, 
 from dup_ocropy_spark.plans.lineage import dataset_checksum, write_output_with_lineage
 from dup_ocropy_spark.plans.resume import committed_buckets, read_checkpointed, run_with_checkpoints
 from dup_ocropy_spark.sources.transcripts import (
-    synth_conv, synth_expected, synth_transcripts, write_transcripts,
+    synth_expected, synth_transcripts, write_transcripts,
 )
 
 N_CONVS = 60

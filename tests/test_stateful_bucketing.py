@@ -2,13 +2,12 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from dup_ocropy_spark.plans.bucketing import bucketed_join, write_bucketed
 from dup_ocropy_spark.plans.extract import conversation_text, extract
 from dup_ocropy_spark.sources.transcripts import synth_expected, synth_transcripts, write_transcripts
-from dup_ocropy_spark.streaming.extract_stream import extracted_stream, transcript_stream
+from dup_ocropy_spark.streaming.extract_stream import transcript_stream
 from dup_ocropy_spark.streaming.stateful import conversation_stream
 
 

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from dup_ocropy_spark.operators.multimodal import (
     FEATURE_DIM, extract_media_features, synth_media,
