@@ -114,7 +114,8 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
                 "turns_per_sec": round(n_turns / t_extract, 1)}
 
     bench_names = [
-        "extract_documents", "q1_pricing_summary", "q3_topk_revenue",
+        "extract_documents", "extract_documents_html",
+        "q1_pricing_summary", "q3_topk_revenue",
         "h4_reassembly", "g3_run_label", "g11_propagate_labels",
         "a4_confusion_topk", "a6_moving_stats", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",

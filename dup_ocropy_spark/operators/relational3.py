@@ -85,6 +85,40 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join",
+    sql="""
+    SELECT event_id, user_id,
+           round(last_click, 6) AS last_click
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click
+      FROM events
+    ) WHERE event_type = 'purchase' AND last_click IS NOT NULL
+    """,
+    doc="as-of join: each purchase picks the most recent strictly-prior "
+        "click value per user — window last(ignorenulls) over a "
+        "(-inf, -1] frame instead of a range join (the Spark-native "
+        "asof pattern; scales as one partitioned window, no join)",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")),
+        ignorenulls=True).over(w)
+    return (e.select("event_id", "user_id", "event_type",
+                     last_click.alias("last_click"))
+            .where((F.col("event_type") == "purchase")
+                   & F.col("last_click").isNotNull())
+            .select("event_id", "user_id", F.round("last_click", 6).alias("last_click")))
+
+
+@register(
     "length_profile",
     sql="""
     SELECT source,
