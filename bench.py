@@ -116,7 +116,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     bench_names = [
         "extract_documents", "extract_documents_html",
         "q1_pricing_summary", "q3_topk_revenue",
-        "h4_reassembly", "g3_run_label", "g11_propagate_labels",
+        "h4_reassembly", "g4_run_extents", "g11_propagate_labels",
         "a4_confusion_topk", "a6_moving_stats", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
         "quality_score", "doc_fingerprint",
@@ -208,9 +208,11 @@ so the small config cannot borrow idle cores for JVM/GC work.
 Input: deterministic synthetic transcript table (seed=42, hot
 conversation fixture hot_every=1000 x 1200 turns),
 sf={points[32]['sf']}, {points[32]['turns']} turns, hash-scrambled
-parquet. Timed action: full extraction pipeline (salted repartition ->
-one fused mapInPandas kernel chain) into a noop sink; Python workers
-pre-warmed, best of 2 runs.
+parquet. Timed action: full extraction pipeline (scan -> one fused
+mapInPandas kernel chain, ZERO pre-UDF shuffles: the input is
+hash-scrambled on disk, so maxPartitionBytes-bounded splits are already
+balanced; the salted repartition is opt-in for conv-clustered layouts)
+into a noop sink; Python workers pre-warmed, best of 2 runs.
 
 ## Primary pair: N=2 -> 4N=8 cores (unsaturated regime)
 
@@ -247,8 +249,8 @@ a real N->4N cluster do not share. The primary (unsaturated) pair is the
 faithful cluster analogy and meets the >=0.8 bar.
 
 Config: AQE on (coalescePartitions, skewJoin), Arrow batch cap 512 rows,
-shuffle partitions = cores, salted repartition on
-xxhash64(conv_id, turn_idx).
+shuffle partitions = cores; no pre-UDF repartition (input pre-scrambled;
+opt-in xxhash64(conv_id, turn_idx) salting covers clustered layouts).
 
 ```json
 {json.dumps({"points": points, "eff_2_8": round(eff_2_8, 3),

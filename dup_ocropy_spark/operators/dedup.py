@@ -30,40 +30,27 @@ MAX_SHINGLE_DF = 20  # stop-shingle cutoff
 @register(
     "dedup_exact",
     sql="""
-    SELECT count(*) AS n_docs,
-           count(DISTINCT md5(text)) AS n_unique,
-           count(*) - count(DISTINCT md5(text)) AS n_dup_rows
-    FROM documents
-    """,
-    doc="exact dedup: hash-groupBy on full text; one shuffle on a 16-byte "
-        "key at any scale",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.count_distinct(F.md5("text")).alias("n_unique"),
-        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_dup_rows"))
-
-
-@register(
-    "dedup_exact_keep_first",
-    sql="""
-    SELECT doc_id FROM (
+    SELECT doc_id, n_copies FROM (
       SELECT doc_id,
-             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
       FROM documents
     ) WHERE rk = 1
     """,
-    doc="exact dedup, keep-first survivor set (min doc_id per text hash)",
+    doc="exact dedup, keep-first survivor set (min doc_id per text hash) "
+        "with per-group multiplicity (n_copies; sum(n_copies-1) = duplicate "
+        "rows removed): one shuffle on a 16-byte hash key at any scale",
 )
-def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    return (d.select("doc_id", F.row_number().over(w).alias("rk"))
-            .where(F.col("rk") == 1).select("doc_id"))
+    wc = W.partitionBy(F.md5("text"))
+    return (d.select("doc_id",
+                     F.row_number().over(w).alias("rk"),
+                     F.count("*").over(wc).alias("n_copies"))
+            .where(F.col("rk") == 1).select("doc_id", "n_copies"))
 
 
 # DuckDB's generate_series table function rejects lateral column params,
@@ -131,11 +118,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count("*").alias("n_inter")))
+    # counts is one row per doc = O(corpus): never broadcast it; these are
+    # plain equi-joins on doc id, SMJ/AQE picks the strategy
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     j = (inter
-         .join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-         .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id")))
+         .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+         .join(cb, F.col("doc_b") == F.col("cb.doc_id")))
     jac = F.col("n_inter").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter"))
     return (j.where(jac >= 0.2)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
@@ -145,8 +134,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (rows-only check: DuckDB lacks xxhash64)
 # ---------------------------------------------------------------------------
 
-N_BANDS = 8
-ROWS_PER_BAND = 4  # 32 minhashes total
+# b bands x r rows; candidate probability for a pair at jaccard s is
+# 1-(1-s^r)^b. 16x2 (32 minhashes) puts the S-curve threshold at
+# (1/b)^(1/r) = 0.25: >=0.99 recall at s>=0.5 (gated in
+# tests/test_recall_gates.py), at the cost of more low-s candidates —
+# acceptable because candidates are verified by exact overlap downstream.
+# The former 8x4 config's threshold (0.59) silently missed ~60% of s=0.5
+# pairs.
+N_BANDS = 16
+ROWS_PER_BAND = 2
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -209,11 +205,17 @@ def _simhash_batch(batches):
     for pdf in batches:
         out_ids = pdf["doc_id"].to_numpy()
         hashes = np.zeros(len(pdf), dtype=np.uint64)
+        # hash each distinct token ONCE per batch (corpus vocabulary is tiny
+        # relative to token count; per-occurrence blake2b dominated profiles)
+        token_cache: dict[str, int] = {}
         for i, text in enumerate(pdf["text"]):
             tokens = str(text).lower().split()
             if not tokens:
                 continue
-            hv = np.array([_token_hash64(t) for t in tokens], dtype=np.uint64)
+            for t in tokens:
+                if t not in token_cache:
+                    token_cache[t] = _token_hash64(t)
+            hv = np.array([token_cache[t] for t in tokens], dtype=np.uint64)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
             acc = (2 * bits - 1).sum(axis=0)
             hashes[i] = (powers[acc >= 0]).sum(dtype=np.uint64)
@@ -221,25 +223,33 @@ def _simhash_batch(batches):
                             "simhash": hashes.view(np.int64)})
 
 
+# 7 bit-blocks over the 64-bit fingerprint (widths 10,9,9,9,9,9,9).
+# Pigeonhole: k blocks catch at most k-1 flipped bits with one block left
+# clean, so 7 blocks GUARANTEE every pair at hamming <= 6 shares at least
+# one unmodified block -> the per-block equi-join has 100% recall at the
+# <=6 threshold (the block-split design of Manku, Jain & Das Sarma,
+# "Detecting Near-Duplicates for Web Crawling", WWW 2007).
+SIMHASH_HAMMING_MAX = 6
+_SIMHASH_BLOCKS = [(0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9)]
+assert len(_SIMHASH_BLOCKS) == SIMHASH_HAMMING_MAX + 1
+assert sum(w for _, w in _SIMHASH_BLOCKS) == 64
+
+
 @register(
     "dedup_simhash",
     sql=None,
     doc="SimHash near-dup: 64-bit sign-sum fingerprint per doc (Arrow-batch "
-        "numpy), then hamming<=6 self-join via bit_count(xor) in the JVM",
+        "numpy), banded into 7 bit-blocks (pigeonhole-complete for "
+        "hamming<=6), per-block equi-join, bit_count(xor) rerank in the JVM",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long")
-    a = sig.alias("a")
-    b = sig.alias("b")
-    # band the 64-bit hash into 4 x 16-bit chunks: near-dups (<=6 flipped
-    # bits) must agree on at least one chunk -> equi-join per chunk instead
-    # of a cross join (pigeonhole; same trick as LSH banding)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                 .alias("ck"))
-        for c in range(4)
+                 F.shiftright(F.col("simhash"), off)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+        for c, (off, w) in enumerate(_SIMHASH_BLOCKS)
     ])
     ca = (sig.select("doc_id", "simhash", F.explode(chunks).alias("c"))
           .select("doc_id", "simhash", "c.chunk", "c.ck").alias("ca"))
@@ -253,5 +263,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cb.simhash").alias("hb"))
             .distinct())
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.where(hamming <= 6)
+    return (cand.where(hamming <= SIMHASH_HAMMING_MAX)
             .select("doc_a", "doc_b", hamming.alias("hamming")))

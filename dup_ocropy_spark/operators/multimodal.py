@@ -87,21 +87,24 @@ def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame
     def stage(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"] or b"")
+            # zip over ndarrays, not iterrows (row-object construction ~10x)
+            for doc_id, media_type, raw in zip(pdf["doc_id"].to_numpy(),
+                                               pdf["media_type"].to_numpy(),
+                                               pdf["payload"].to_numpy()):
+                payload = bytes(raw or b"")
                 magic = "unknown"
                 for sig, name in _MAGIC.items():
                     if payload.startswith(sig):
                         magic = name
                         break
                 try:
-                    feat = decode(payload, row["media_type"])
+                    feat = decode(payload, media_type)
                     ok, err = True, None
                 except NotImplementedError as e:
                     feat, ok, err = np.zeros(FEATURE_DIM, dtype=np.float32), False, str(e)
                 out.append({
-                    "doc_id": row["doc_id"],
-                    "media_type": row["media_type"],
+                    "doc_id": doc_id,
+                    "media_type": media_type,
                     "n_bytes": len(payload),
                     "magic": magic,
                     "feature": feat.tolist(),

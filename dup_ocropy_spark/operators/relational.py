@@ -21,25 +21,32 @@ from dup_ocropy_spark.operators.registry import register, table
 # ---------------------------------------------------------------------------
 
 @register(
-    "p1_reject_gate",
+    "p1_p8_gates",
     sql="""
     SELECT doc_id, n_chars,
            CASE WHEN n_chars < 100 THEN 'too_short'
                 WHEN n_chars > 500 THEN 'too_long'
-                ELSE 'ok' END AS gate
-    FROM documents
-    WHERE n_chars < 100 OR n_chars > 500
+                ELSE 'ok' END AS gate,
+           CASE WHEN CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                     / length(text) > 0.95
+                THEN 'passthrough' ELSE 'flatten' END AS branch
+    FROM documents WHERE length(text) > 0
     """,
-    doc="check_page size gate as a pushed-down filter + reject-reason column "
-        "(ocropus-nlbin:61-69)",
+    doc="P1 check_page size gate (ocropus-nlbin:61-69) + P8 already-binary "
+        "passthrough branch (ocropus-nlbin:192-199) in one per-doc gate frame: "
+        "reject-reason column plus skip-flattening branch when >=95%% of the "
+        "payload is already in the target alphabet",
 )
-def p1_reject_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+def p1_p8_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
     gate = (F.when(F.col("n_chars") < 100, "too_short")
             .when(F.col("n_chars") > 500, "too_long")
             .otherwise("ok"))
-    return (d.select("doc_id", "n_chars", gate.alias("gate"))
-            .where((F.col("n_chars") < 100) | (F.col("n_chars") > 500)))
+    frac = (F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text"))
+    branch = F.when(frac > 0.95, "passthrough").otherwise("flatten")
+    return d.select("doc_id", "n_chars", gate.alias("gate"),
+                    branch.alias("branch"))
 
 
 @register(
@@ -88,8 +95,8 @@ def g1_estimate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUN_LABEL_SQL = """
       SELECT event_id, user_id, event_type,
-             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS run_id,
+             CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id,
              ts
       FROM (
         SELECT event_id, user_id, event_type, ts,
@@ -116,16 +123,6 @@ def _run_label_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g3_run_label",
-    sql=f"SELECT event_id, user_id, event_type, run_id FROM ({_RUN_LABEL_SQL})",
-    doc="connected-component labeling as boundary-cumsum over an ordered "
-        "stream (morph.py:14-27 recast; SURVEY.md G3)",
-)
-def g3_run_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_label_df(spark, sf_dir).drop("ts")
-
-
-@register(
     "g4_run_extents",
     sql=f"""
     SELECT user_id, run_id, count(*) AS n_events,
@@ -133,7 +130,9 @@ def g3_run_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_RUN_LABEL_SQL})
     GROUP BY user_id, run_id
     """,
-    doc="find_objects: bbox per label -> min/max extent per run "
+    doc="G3 label + G4 find_objects in one query: connected-component "
+        "labeling as boundary-cumsum over the ordered stream (morph.py:14-27 "
+        "recast -> run_id), then bbox per label as min/max extents per run "
         "(morph.py:29-42)",
 )
 def g4_run_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,56 +187,69 @@ def _blocks_seeds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     GROUP BY b.user_id, b.block_id
     """,
     doc="propagate_labels: seed labels onto overlapping components, "
-        "conflicts -> 0 (morph.py:174-188) as an interval join + agg",
+        "conflicts -> 0 (morph.py:174-188) as an interval join + agg; "
+        "equi-key on user_id, no broadcast hint (seeds scale with events)",
 )
 def g11_propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
-    j = blocks.join(F.broadcast(seeds),
-                    (F.col("b_user") == F.col("s_user"))
-                    & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
+    j = blocks.join(seeds, _interval_cond())
     return (j.groupBy(F.col("b_user").alias("user_id"), F.col("block_id"))
             .agg(F.when(F.count_distinct("label") == 1, F.min("label"))
                  .otherwise(F.lit(0)).alias("resolved_label"),
                  F.count("*").alias("n_seed_matches")))
 
 
+def _interval_cond():
+    return ((F.col("b_user") == F.col("s_user"))
+            & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
+
+
 @register(
-    "g13_keep_marked",
+    "g13_keep_remove_marked",
     sql=f"""
-    SELECT b.user_id, b.block_id FROM ({_BLOCKS_SQL}) b
+    SELECT b.user_id, b.block_id, 'kept' AS mark FROM ({_BLOCKS_SQL}) b
     WHERE EXISTS (SELECT 1 FROM ({_SEEDS_SQL}) s
                   WHERE s.user_id = b.user_id AND b.bs < s.se AND s.ss < b.be)
-    """,
-    doc="keep_marked: keep components overlapping a marker -> LEFT SEMI "
-        "interval join (morph.py:135-142)",
-)
-def g13_keep_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blocks, seeds = _blocks_seeds(spark, sf_dir)
-    return blocks.join(
-        F.broadcast(seeds),
-        (F.col("b_user") == F.col("s_user"))
-        & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")),
-        "left_semi",
-    ).select(F.col("b_user").alias("user_id"), "block_id")
-
-
-@register(
-    "g14_remove_marked",
-    sql=f"""
-    SELECT b.user_id, b.block_id FROM ({_BLOCKS_SQL}) b
+    UNION ALL
+    SELECT b.user_id, b.block_id, 'removed' AS mark FROM ({_BLOCKS_SQL}) b
     WHERE NOT EXISTS (SELECT 1 FROM ({_SEEDS_SQL}) s
                       WHERE s.user_id = b.user_id AND b.bs < s.se AND s.ss < b.be)
     """,
-    doc="remove_marked: the anti-join twin (morph.py:144-149)",
+    doc="keep_marked + remove_marked (morph.py:135-149): LEFT SEMI and LEFT "
+        "ANTI interval joins, unioned with a mark tag so both join strategies "
+        "are driver-checked in one query; no broadcast hint — the seed side "
+        "is an unbounded fraction of events, AQE picks the strategy",
 )
-def g14_remove_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g13_keep_remove_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
-    return blocks.join(
-        F.broadcast(seeds),
-        (F.col("b_user") == F.col("s_user"))
-        & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")),
-        "left_anti",
-    ).select(F.col("b_user").alias("user_id"), "block_id")
+    kept = (blocks.join(seeds, _interval_cond(), "left_semi")
+            .select(F.col("b_user").alias("user_id"), "block_id",
+                    F.lit("kept").alias("mark")))
+    removed = (blocks.join(seeds, _interval_cond(), "left_anti")
+               .select(F.col("b_user").alias("user_id"), "block_id",
+                       F.lit("removed").alias("mark")))
+    return kept.unionByName(removed)
+
+
+@register(
+    "g14_correspondences",
+    sql=f"""
+    SELECT b.block_id % 5 AS label_a, s.label AS label_b,
+           count(*) AS n_pairs
+    FROM ({_BLOCKS_SQL}) b JOIN ({_SEEDS_SQL}) s
+      ON b.user_id = s.user_id AND b.bs < s.se AND s.ss < b.be
+    GROUP BY b.block_id % 5, s.label
+    """,
+    doc="correspondences (morph.py:151-161): distinct overlapping-label "
+        "pairs between two labelings of the same domain, with pair "
+        "multiplicity — overlap join -> groupBy(label_a, label_b)",
+)
+def g14_correspondences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks, seeds = _blocks_seeds(spark, sf_dir)
+    j = blocks.join(seeds, _interval_cond())
+    return (j.groupBy((F.col("block_id") % 5).alias("label_a"),
+                      F.col("label").alias("label_b"))
+            .agg(F.count("*").alias("n_pairs")))
 
 
 @register(
@@ -290,13 +302,11 @@ def g16_renumber_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON b.user_id = s.user_id AND b.bs < s.se AND s.ss < b.be
     """,
     doc="sl.* rectangle algebra: overlap width via greatest/least "
-        "(ocrolib/sl.py:13-155)",
+        "(ocrolib/sl.py:13-155); equi-key join, strategy left to AQE",
 )
 def g20_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, seeds = _blocks_seeds(spark, sf_dir)
-    j = blocks.join(F.broadcast(seeds),
-                    (F.col("b_user") == F.col("s_user"))
-                    & (F.col("bs") < F.col("se")) & (F.col("ss") < F.col("be")))
+    j = blocks.join(seeds, _interval_cond())
     overlap = F.greatest(F.lit(0.0),
                          F.least("be", "se") - F.greatest("bs", "ss"))
     return j.select("block_id", "seed_id", F.round(overlap, 6).alias("overlap"))
@@ -430,13 +440,27 @@ def _doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a1_levenshtein",
-    sql=f"SELECT doc_id, levenshtein(pred, gt) AS lev FROM ({_PAIRS_SQL})",
-    doc="edit distance, built-in JVM levenshtein (ocrolib/edist.py:6-19)",
+    "a5_error_report",
+    sql=f"""
+    SELECT doc_id, source, levenshtein(pred, gt) AS lev,
+           length(gt) AS gt_len,
+           round(CAST(levenshtein(pred, gt) AS DOUBLE)
+                 / greatest(length(gt), 1), 6) AS err_rate
+    FROM ({_PAIRS_SQL})
+    """,
+    doc="A5 per-item error report (ocropus-errs:54-56: sorted (err, len, "
+        "fname) rows) — subsumes A1 levenshtein (ocrolib/edist.py:6-19, "
+        "built-in JVM levenshtein, the lev column); driver sorts rows, so "
+        "the report order key (err desc) is a consumer-side orderBy",
 )
-def a1_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a5_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lev = F.levenshtein("pred", "gt")
     return (_doc_pairs(spark, sf_dir)
-            .select("doc_id", F.levenshtein("pred", "gt").alias("lev")))
+            .select("doc_id", "source", lev.alias("lev"),
+                    F.length("gt").alias("gt_len"),
+                    F.round(lev.cast("double")
+                            / F.greatest(F.length("gt"), F.lit(1)), 6)
+                    .alias("err_rate")))
 
 
 @register(
@@ -506,49 +530,6 @@ def a6_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T-family: text scalar functions (JVM-side regexp chains)
-# ---------------------------------------------------------------------------
-
-@register(
-    "t1_normalize_text",
-    sql=r"""
-    SELECT doc_id,
-           trim(regexp_replace(
-             replace(replace(replace(text, '"', ''''''), '`', ''''), chr(181), chr(956)),
-             '\s+', ' ', 'g')) AS norm
-    FROM documents
-    """,
-    doc="normalize_text as a JVM regexp_replace chain — no Python "
-        "(ocrolib/common.py:46-58, chars.py:37-59)",
-)
-def t1_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    s = F.col("text")
-    s = F.replace(s, F.lit('"'), F.lit("''"))
-    s = F.replace(s, F.lit("`"), F.lit("'"))
-    s = F.replace(s, F.lit("µ"), F.lit("μ"))
-    s = F.trim(F.regexp_replace(s, r"\s+", " "))
-    return d.select("doc_id", s.alias("norm"))
-
-
-@register(
-    "t2_project_letdig",
-    sql=r"""
-    SELECT doc_id,
-           md5(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS proj
-    FROM documents
-    """,
-    doc="project_text(letdig): strip to alphanumerics "
-        "(ocrolib/common.py:60-81); md5 keeps compare payload small",
-)
-def t2_project_letdig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.regexp_replace("text", "[^A-Za-z0-9]", "")).alias("proj"))
-
-
-# ---------------------------------------------------------------------------
 # J-family: key joins with missing accounting (ocropus-errs:38-46)
 # ---------------------------------------------------------------------------
 
@@ -557,7 +538,8 @@ def t2_project_letdig(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT g.source,
            count(*) AS n_total,
-           sum(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS n_missing
+           CAST(sum(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
     FROM documents g
     LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) p
       ON g.doc_id = p.doc_id
@@ -569,7 +551,8 @@ def t2_project_letdig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_missing_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pred = d.where(F.col("doc_id") % 7 != 0).select(F.col("doc_id").alias("p_doc_id"))
-    return (d.join(F.broadcast(pred), d.doc_id == pred.p_doc_id, "left")
+    # pred is ~6/7 of the table — never broadcast it; plain equi-join
+    return (d.join(pred, d.doc_id == pred.p_doc_id, "left")
             .groupBy("source")
             .agg(F.count("*").alias("n_total"),
                  F.sum(F.when(F.col("p_doc_id").isNull(), 1).otherwise(0))
@@ -623,14 +606,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_orderkey, o.o_orderdate
     ) WHERE rk <= 10
     """,
-    doc="join + top-k: dims broadcast, single shuffle on the fact key",
+    doc="join + top-k: no forced broadcasts (orders/customer scale with the "
+        "fact table; AQE broadcasts at runtime when a side is actually "
+        "small), single shuffle per join key, TakeOrderedAndProject top-k",
 )
 def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey))
     agg = (j.groupBy("l_orderkey", "o_orderdate")
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                 .alias("revenue")))

@@ -109,8 +109,10 @@ def g2_boxmap_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, run_id, count(*) AS n_events
         FROM (
           SELECT user_id,
-                 sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS run_id
+                 CAST(sum(boundary) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS run_id
           FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN event_type IS DISTINCT FROM
@@ -138,55 +140,36 @@ def g6_top_separator_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "p8_passthrough_branch",
-    sql="""
+    "t1_textnorm_family",
+    sql=r"""
     SELECT doc_id,
-           CASE WHEN CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
-                     / length(text) > 0.95
-                THEN 'passthrough' ELSE 'flatten' END AS branch
-    FROM documents WHERE length(text) > 0
-    """,
-    doc="already-binary shortcut: skip flattening when >=95%% of the "
-        "payload is already in the target alphabet (ocropus-nlbin:192-199)",
-)
-def p8_passthrough_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    frac = (F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
-            / F.length("text"))
-    return d.select("doc_id",
-                    F.when(frac > 0.95, "passthrough").otherwise("flatten")
-                    .alias("branch"))
-
-
-@register(
-    "h5_escape",
-    sql="""
-    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(text, '"', ''''''), '`', ''''), chr(181), chr(956)),
+             '\s+', ' ', 'g')) AS norm,
+           md5(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS proj,
+           replace(text, '''''', '"') AS requoted,
            md5(replace(replace(text, '&', '&amp;'), '<', '&lt;')) AS escaped_md5
     FROM documents
     """,
-    doc="hOCR entity escaping (ocropus-hocr:125-126) as a replace chain",
+    doc="text-scalar family, all JVM regexp/replace chains, no Python: "
+        "T1 normalize_text (ocrolib/common.py:46-58, chars.py:37-59 -> norm), "
+        "T2 project_text(letdig) (common.py:60-81 -> proj, md5 keeps the "
+        "compare payload small), T3 requote (chars.py:61-64 -> requoted), "
+        "H5 hOCR entity escaping (ocropus-hocr:125-126 -> escaped_md5)",
 )
-def h5_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t1_textnorm_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-                    F.lit("<"), F.lit("&lt;"))
-    return d.select("doc_id", F.md5(esc).alias("escaped_md5"))
-
-
-@register(
-    "t3_requote",
-    sql="""
-    SELECT doc_id, replace(text, '''''', '"') AS requoted
-    FROM documents WHERE doc_id < 50
-    """,
-    doc="requote: doubled straight quotes -> typewriter double quote "
-        "(ocrolib/chars.py:61-64)",
-)
-def t3_requote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    return d.select("doc_id",
-                    F.replace(F.col("text"), F.lit("''"), F.lit('"')).alias("requoted"))
+    s = F.col("text")
+    s = F.replace(s, F.lit('"'), F.lit("''"))
+    s = F.replace(s, F.lit("`"), F.lit("'"))
+    s = F.replace(s, F.lit("µ"), F.lit("μ"))
+    norm = F.trim(F.regexp_replace(s, r"\s+", " "))
+    proj = F.md5(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    requoted = F.replace(F.col("text"), F.lit("''"), F.lit('"'))
+    esc = F.md5(F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                          F.lit("<"), F.lit("&lt;")))
+    return d.select("doc_id", norm.alias("norm"), proj.alias("proj"),
+                    requoted.alias("requoted"), esc.alias("escaped_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +186,11 @@ def _xlev_batch(batches):
 
     for pdf in batches:
         rows = []
-        for _, r in pdf.iterrows():
-            err, conf = xlevenshtein(r["pred"], r["gt"]) if r["gt"] else (0.0, [])
-            rows.append({"doc_id": r["doc_id"], "err": err,
+        # zip over ndarrays, not iterrows (row-object construction is ~10x)
+        for doc_id, pred, gt in zip(pdf["doc_id"].to_numpy(),
+                                    pdf["pred"].to_numpy(), pdf["gt"].to_numpy()):
+            err, conf = xlevenshtein(pred, gt) if gt else (0.0, [])
+            rows.append({"doc_id": doc_id, "err": err,
                          "confusions": [{"pred": a, "gt": b} for a, b in conf]})
         yield pd.DataFrame(rows)
 

@@ -13,8 +13,9 @@ from dup_ocropy_spark.operators.registry import register, table
     "sessionize",
     sql="""
     SELECT event_id, user_id,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
     FROM (
       SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id

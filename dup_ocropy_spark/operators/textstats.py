@@ -20,38 +20,27 @@ def _occurrences(col, needle: str):
 
 
 @register(
-    "token_count",
+    "token_counts",
     sql=r"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-    FROM documents
-    """,
-    doc="whitespace token count (BPE-ish counting is the regex variant in "
-        "quality_score)",
-)
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    n = (F.when(F.length(F.trim("text")) == 0, 0)
-         .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
-    return d.select("doc_id", n.cast("bigint").alias("n_tokens"))
-
-
-@register(
-    "token_count_bpe",
-    sql=r"""
-    SELECT doc_id,
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-             AS n_tokens
+             AS n_tokens_bpe
     FROM documents
     """,
-    doc="BPE-ish token counting: word/number/punct pieces via a portable "
-        "regex (the GPT-2 pretokenizer shape, ASCII-simplified)",
+    doc="token counting, both tokenizers in one frame: whitespace split "
+        "(n_tokens_ws) and BPE-ish word/number/punct pieces via a portable "
+        "regex (n_tokens_bpe; the GPT-2 pretokenizer shape, ASCII-simplified)",
 )
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
-    return d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    ws = (F.when(F.length(F.trim("text")) == 0, 0)
+          .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+    return d.select("doc_id", ws.cast("bigint").alias("n_tokens_ws"),
+                    bpe.cast("bigint").alias("n_tokens_bpe"))
 
 
 @register(
@@ -103,9 +92,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 1 ELSE 0 END AS correct
     FROM (
       SELECT doc_id, lang,
-             (length(text) - length(replace(text, ' the ', ''))) / 5
-             + (length(text) - length(replace(text, ' a ', ''))) / 3
-             + (length(text) - length(replace(text, ' of ', ''))) / 4 AS en_hits
+             -- integer '//': DuckDB '/' on ints yields DOUBLE, Spark side is BIGINT
+             (length(text) - length(replace(text, ' the ', ''))) // 5
+             + (length(text) - length(replace(text, ' a ', ''))) // 3
+             + (length(text) - length(replace(text, ' of ', ''))) // 4 AS en_hits
       FROM documents
     )
     """,

@@ -38,7 +38,11 @@ def _features_batch_fn(context: bool):
         names = _feature_names(context)
         for pdf in batches:
             rows = []
-            for text, tool in zip(pdf.get("text", ""), pdf.get("tool", "")):
+            # default a missing column to a same-length empty series: zipping
+            # against a scalar '' would silently yield zero training rows
+            texts = pdf["text"] if "text" in pdf else [""] * len(pdf)
+            tools = pdf["tool"] if "tool" in pdf else [""] * len(pdf)
+            for text, tool in zip(texts, tools):
                 payload = tool if isinstance(tool, str) and tool else (text or "")
                 if not isinstance(payload, str) or len(payload.strip()) < 20:
                     continue

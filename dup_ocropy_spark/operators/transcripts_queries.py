@@ -106,9 +106,12 @@ _HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
     "extract_documents_html",
     sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(substr(text, 1, 30), '\\s+', ' ', 'g'))
+           trim(regexp_replace(replace(replace(substr(text, 1, 30),
+                                               '"', ''''''), '`', ''''),
+                               '\\s+', ' ', 'g'))
              || chr(10) ||
-           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text,
+           trim(regexp_replace(replace(replace(text, '"', ''''''), '`', ''''),
+                               '\\s+', ' ', 'g')) AS extracted_text,
            2 AS n_content,
            4 AS n_blocks
     FROM documents

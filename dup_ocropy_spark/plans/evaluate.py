@@ -53,10 +53,11 @@ def _confusion_batch(batches):
 
     for pdf in batches:
         rows = []
-        for _, r in pdf.iterrows():
-            if not r["gt"]:
+        # zip over ndarrays, not iterrows (row-object construction is ~10x)
+        for pred, gt in zip(pdf["pred"].to_numpy(), pdf["gt"].to_numpy()):
+            if not gt:
                 continue
-            _, conf = xlevenshtein(r["pred"] or "", r["gt"])
+            _, conf = xlevenshtein(pred or "", gt)
             rows.extend({"pred_part": a, "gt_part": b} for a, b in conf)
         yield pd.DataFrame(rows, columns=["pred_part", "gt_part"])
 

@@ -7,16 +7,18 @@ fusion'): ONE fused ``mapInPandas`` stage running the whole per-turn
 kernel chain — payloads cross the JVM->Python Arrow boundary exactly
 once — wrapped in native operators:
 
-    scan -> salted repartition -> mapInPandas(extract) -> [window/agg/write]
+    scan -> [opt-in salted repartition] -> mapInPandas(extract) -> [window/agg]
 
 Design notes for 100 TB scale:
   * The per-turn stage needs no key co-location at all — turns are
-    independent (as pages are in the reference). We repartition on a
-    salted hash of (conv_id, turn_idx) purely to *break* conv_id clumping
-    from upstream file layout: a 10^5-turn hot conversation lands in one
-    input split otherwise (north_rule skew fixture). Salting the shuffle
-    never touches output order — ordering is re-established by explicit
-    sort/window at the consumer (SURVEY.md section 7.3 hard part b).
+    independent (as pages are in the reference), so the default plan has
+    ZERO shuffles before the UDF; ``spark.sql.files.maxPartitionBytes``
+    bounds split size. An opt-in repartition on a salted hash of
+    (conv_id, turn_idx) *breaks* conv_id clumping for layouts where a
+    10^5-turn hot conversation lands in one input split (north_rule skew
+    fixture). Salting the shuffle never touches output order — ordering is
+    re-established by explicit sort/window at the consumer (SURVEY.md
+    section 7.3 hard part b).
   * No per-row Python anywhere: the only Python boundary is the Arrow
     batch iterator; everything else (filters, ordering, lineage aggs) is
     JVM/codegen.
@@ -49,7 +51,7 @@ def make_extract_stage(config: ExtractConfig = DEFAULT_CONFIG):
 
 
 def extract(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
-            repartition: int | None = None, salted: bool = True) -> DataFrame:
+            repartition: int | None = None, salted: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool[, mask, ts]) ->
     extracted(conv_id, turn_idx, role, payload_len, n_blocks, n_content,
     extracted_text, spans, reject_reason).
@@ -57,10 +59,18 @@ def extract(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
     Unordered — consumers that need the per-turn invariant ordering apply
     ``ordered()`` / a (conv_id, turn_idx) window themselves, after the
     heavy stage (sort once, late).
+
+    The salted pre-shuffle is OPT-IN (``salted=True`` or an explicit
+    ``repartition=n``): turns are independent, so the map stage needs no
+    co-location and ``spark.sql.files.maxPartitionBytes`` already bounds
+    split size/skew when scanning files. Salting is for conv-clustered
+    layouts where one hot conversation lands in one input split — at 100 TB
+    a default shuffle here would be an extra full write+read of the corpus
+    (~25%% wall measured at local[32] on pre-scrambled input).
     """
     cols = [c for c in (*INPUT_COLUMNS, "mask") if c in transcripts.columns]
     df = transcripts.select(*cols)  # column pruning before the Python boundary
-    if salted:
+    if salted or repartition is not None:
         n = repartition or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         # salted spread: hash includes turn_idx, so a hot conv_id fans out
         df = df.repartition(n, F.xxhash64("conv_id", "turn_idx"))

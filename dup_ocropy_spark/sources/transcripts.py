@@ -140,6 +140,40 @@ def _plain_text_payload(rng: np.random.Generator) -> tuple[str, str]:
     return payload, expected
 
 
+# --------------------------------------------------------------------------
+# corrupted-markup stress tier: the transcript analog of ocropus-linegen's
+# rgeometry/rdistort degradations (ocropus-linegen:52-83,128-241) — instead
+# of warping pixels, we damage markup. Extraction must stay crash-free with
+# well-formed in-bounds spans on every corruption (tests/test_properties.py);
+# by-construction text equality is only claimed for uncorrupted turns.
+# --------------------------------------------------------------------------
+
+def _corrupt_payload(rng: np.random.Generator, payload: str) -> str:
+    """Apply 1-3 seeded markup corruptions to a well-formed payload."""
+    ops = rng.integers(0, 8, size=int(rng.integers(1, 4)))
+    for op in ops:
+        if not payload:
+            break
+        cut = int(rng.integers(0, len(payload)))
+        if op == 0:      # truncate mid-payload (often mid-tag)
+            payload = payload[: max(1, cut)]
+        elif op == 1:    # drop one closing tag
+            payload = payload.replace("</p>", "", 1)
+        elif op == 2:    # stray unescaped '<'
+            payload = payload[:cut] + " < " + payload[cut:]
+        elif op == 3:    # invalid entity
+            payload = payload[:cut] + "&zzz;" + payload[cut:]
+        elif op == 4:    # unterminated script island
+            payload = payload + "<script>var x = '"
+        elif op == 5:    # doubled open tag
+            payload = payload.replace("<p>", "<p><p>", 1)
+        elif op == 6:    # mixed NFC/NFD: decomposed e + combining acute
+            payload = payload[:cut] + "é" + payload[cut:]
+        else:            # control chars inside text
+            payload = payload[:cut] + "\x00\x0b" + payload[cut:]
+    return payload
+
+
 def turn_count(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200) -> int:
     """Geometric(mean 12) clipped to [1, 300]; every ``hot_every``-th
     conversation is a hot one with ~100x median turns (skew fixture)."""
@@ -149,11 +183,15 @@ def turn_count(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200) -> int:
     return int(np.clip(rng.geometric(1.0 / 12.0), 1, 300))
 
 
-def synth_conv(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200
+def synth_conv(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200,
+               corruption_rate: float = 0.0
                ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Generate one conversation -> (transcript_rows, expected_rows).
 
     Pure function of ``conv_idx`` — identical under any partitioning.
+    With ``corruption_rate`` > 0, that fraction of markup turns get seeded
+    corruptions (stress tier); their expected_text is None (no
+    by-construction claim — only the crash-free/span invariants apply).
     """
     rng = np.random.default_rng([42, conv_idx])
     n_turns = turn_count(conv_idx, hot_every, hot_turns)
@@ -177,6 +215,8 @@ def synth_conv(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200
             text, expected = _plain_text_payload(rng)
         else:
             text, expected = synth_turn_payload(rng)
+            if corruption_rate and rng.random() < corruption_rate:
+                text, expected = _corrupt_payload(rng, text), None
         rows.append((conv_id, np.int32(t), role, text, tool,
                      EPOCH + dt.timedelta(seconds=TICK_SECONDS * (conv_idx * 1301 + t))))
         exp.append((conv_id, np.int32(t), expected))
@@ -193,28 +233,29 @@ EXPECTED_SCHEMA = "conv_id string, turn_idx int, expected_text string"
 
 
 def synth_transcripts(spark, n_convs: int, hot_every: int = 0, hot_turns: int = 1200,
-                      partitions: int | None = None):
+                      partitions: int | None = None, corruption_rate: float = 0.0):
     """Distributed deterministic transcript table (shape = input_hint)."""
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)
 
     def gen(it):
         for pdf in it:
             for ci in pdf["id"]:
-                yield synth_conv(int(ci), hot_every, hot_turns)[0]
+                yield synth_conv(int(ci), hot_every, hot_turns, corruption_rate)[0]
 
     return (spark.range(n_convs).repartition(parts, "id")
             .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA))
 
 
 def synth_expected(spark, n_convs: int, hot_every: int = 0, hot_turns: int = 1200,
-                   partitions: int | None = None):
-    """The matching ground-truth extraction table (known by construction)."""
+                   partitions: int | None = None, corruption_rate: float = 0.0):
+    """The matching ground-truth extraction table (known by construction);
+    corrupted turns carry expected_text = NULL (no equality claim)."""
     parts = partitions or max(4, spark.sparkContext.defaultParallelism)
 
     def gen(it):
         for pdf in it:
             for ci in pdf["id"]:
-                yield synth_conv(int(ci), hot_every, hot_turns)[1]
+                yield synth_conv(int(ci), hot_every, hot_turns, corruption_rate)[1]
 
     return (spark.range(n_convs).repartition(parts, "id")
             .mapInPandas(gen, schema=EXPECTED_SCHEMA))

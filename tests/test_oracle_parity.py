@@ -47,6 +47,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for driver-hash parity: the driver stringifies
+    pandas values, so int32 vs int64 both render '5', but a DuckDB HUGEINT
+    or DOUBLE lands in pandas as float64 ('5.0') and hash-mismatches an
+    int64 Spark column. Families must match; widths need not."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 ORACLE = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
@@ -59,6 +75,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(sdf.columns) == sorted(odf.columns), \
         f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     a, b = _canon(sdf), _canon(odf)
+    # exactly as strict as the driver's value hash: int-vs-float drift in
+    # oracle SQL (HUGEINT sums, integer '/') must fail here, not there
+    for c in a.columns:
+        fa, fb = _dtype_family(a[c]), _dtype_family(b[c])
+        assert fa == fb, f"{name}.{c}: dtype family {fa} (spark) vs {fb} (oracle)"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-8, obj=name)
 

@@ -1,0 +1,39 @@
+"""Plan hygiene at 100 TB: no query may carry a forced broadcast hint on a
+join side that scales with the dataset. A forced ``F.broadcast`` is only
+allowed where the side is provably bounded by construction (a 1-row global
+aggregate, or a literal-bounded id filter); everywhere else the strategy is
+left to Catalyst/AQE, which broadcasts at runtime only when the side is
+actually small."""
+
+from __future__ import annotations
+
+import pytest
+
+import dup_ocropy_spark.operators as _ops
+from dup_ocropy_spark.operators.registry import REGISTRY
+
+_ops.load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# forced-broadcast whitelist: side bounded by construction
+BOUNDED_HINTS = {
+    "h3_font_size_estimate",   # 1-row corpus median
+    "g2_boxmap_band",          # 1-row scale estimate
+    "ann_cosine_topk",         # N_QUERIES=5 query vectors
+    "ann_lsh_topk",            # N_QUERIES x N_TABLES rows
+    "dedup_embedding_cosine",  # vec_id < 100 literal bound
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_broadcast_hints(spark, name):
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_hints = plan.count("strategy=broadcast")
+    if name in BOUNDED_HINTS:
+        assert n_hints >= 1, f"{name}: expected its bounded broadcast hint"
+    else:
+        assert n_hints == 0, (
+            f"{name}: forced broadcast hint on a side that scales with the "
+            f"dataset\n{plan[:2000]}")

@@ -1,0 +1,155 @@
+"""Statistical quality gates for the approximate (LSH) scale paths,
+mirroring the reference's statistical test style (ocropus-errs:62-68,
+run-test-ci:20-133: assert a measured rate against a stated bound).
+
+Each approximate operator is measured against its exact twin on a seeded
+corpus with planted near-duplicates / near-neighbors:
+
+  * dedup_minhash_lsh candidates must cover >=90% of exact
+    dedup_ngram_jaccard pairs at jaccard >= 0.5 (theory: 16 bands x 2
+    rows -> P[candidate | s=0.5] = 1-(1-0.25)^16 ~ 0.99)
+  * dedup_simhash banding must have EXACTLY 100% recall vs brute-force
+    hamming <= 6 (pigeonhole: 7 bit-blocks, 6 flips -> one clean block)
+  * ann_lsh_topk must recall >=80% of the exact top-5 for queries with
+    planted high-cosine neighbors (theory: 6 tables x 6 planes at
+    cos 0.95 -> miss prob ~ 1%)
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import dup_ocropy_spark.operators as _ops
+
+_ops.load_all()
+
+SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# fixture corpora (written as parquet so the registry queries read them
+# exactly the way the driver does)
+# ---------------------------------------------------------------------------
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango "
+          "uniform victor whiskey xray yankee zulu").split()
+
+
+def _doc_text(rng: np.random.Generator, n_words: int = 80) -> str:
+    return " ".join(rng.choice(_WORDS, size=n_words))
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory):
+    """60 base docs + 20 planted near-dups (shared prefix, mutated tail)."""
+    rng = np.random.default_rng(SEED)
+    rows = []
+    doc_id = 0
+    planted = []
+    for i in range(60):
+        text = _doc_text(rng)
+        rows.append((doc_id, text))
+        base_id = doc_id
+        doc_id += 1
+        if i < 20:
+            # near-dup: keep ~75% prefix, regenerate the tail
+            words = text.split()
+            keep = int(len(words) * 0.75)
+            dup = " ".join(words[:keep] + list(rng.choice(_WORDS, size=len(words) - keep)))
+            rows.append((doc_id, dup))
+            planted.append((base_id, doc_id))
+            doc_id += 1
+    d = tmp_path_factory.mktemp("dupdocs")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pq.write_table(pa.Table.from_pandas(pdf), d / "documents.parquet")
+    return str(d), planted
+
+
+@pytest.fixture(scope="module")
+def ann_dir(tmp_path_factory):
+    """200 random unit vectors (dim 64); vec_ids 0-4 are queries, each with
+    3 planted neighbors at cosine ~0.95."""
+    rng = np.random.default_rng(SEED)
+    dim = 64
+    base = rng.standard_normal((200, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for q in range(5):
+        for j in range(3):
+            i = 5 + q * 3 + j
+            # cos ~ 1/sqrt(1 + sigma^2*dim): 0.05 -> ~0.93
+            v = base[q] + 0.05 * rng.standard_normal(dim)
+            base[i] = v / np.linalg.norm(v)
+    d = tmp_path_factory.mktemp("anndocs")
+    tbl = pa.Table.from_arrays(
+        [pa.array(range(200), type=pa.int64()),
+         pa.array([list(map(float, row)) for row in base],
+                  type=pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# gates
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, dup_docs_dir):
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    sf_dir, planted = dup_docs_dir
+    exact = REGISTRY["dedup_ngram_jaccard"].spark(spark, sf_dir).toPandas()
+    truth = {(a, b) for a, b, j in
+             exact[["doc_a", "doc_b", "jaccard"]].itertuples(index=False)
+             if j >= 0.5}
+    assert len(truth) >= 10, "fixture must plant enough high-jaccard pairs"
+    cand = REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir).toPandas()
+    cand_pairs = set(map(tuple, cand[["doc_a", "doc_b"]].to_numpy()))
+    recall = len(truth & cand_pairs) / len(truth)
+    assert recall >= 0.9, f"minhash candidate recall {recall:.3f} < 0.9"
+
+
+def test_simhash_banding_is_lossless_at_hamming_6(spark, dup_docs_dir):
+    """The 7-block banding must find EVERY pair at hamming <= 6 (pigeonhole
+    guarantee) — compare against brute-force over all signature pairs."""
+    from dup_ocropy_spark.operators.dedup import SIMHASH_HAMMING_MAX, _simhash_batch
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    sf_dir, _ = dup_docs_dir
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sig = pd.concat(_simhash_batch([pdf])).set_index("doc_id")["simhash"]
+    brute = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sig.items(), 2):
+        ham = bin((int(ha) ^ int(hb)) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if ham <= SIMHASH_HAMMING_MAX:
+            brute.add((min(ia, ib), max(ia, ib)))
+    assert brute, "fixture must plant simhash-close pairs"
+    banded = REGISTRY["dedup_simhash"].spark(spark, sf_dir).toPandas()
+    banded_pairs = set(map(tuple, banded[["doc_a", "doc_b"]].to_numpy()))
+    assert banded_pairs == brute, (
+        f"banding lost {sorted(brute - banded_pairs)} / "
+        f"invented {sorted(banded_pairs - brute)}")
+
+
+def test_ann_lsh_recall_vs_exact_topk(spark, ann_dir):
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    exact = REGISTRY["ann_cosine_topk"].spark(spark, ann_dir).toPandas()
+    approx = REGISTRY["ann_lsh_topk"].spark(spark, ann_dir).toPandas()
+    assert len(exact) == 25  # 5 queries x top-5
+    # recall over TRUE near neighbors (cos >= 0.8, the planted ones): exact
+    # top-5 also contains cos~0.3 noise-floor rows no LSH family is meant to
+    # retrieve (sign-projection collision prob at cos 0.3 is near chance)
+    truth = {(q, v) for q, v, c in
+             exact[["query_id", "vec_id", "cos"]].itertuples(index=False)
+             if c >= 0.8}
+    got = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    assert len(truth) == 15, "fixture must plant 3 near neighbors per query"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"ann lsh recall of near neighbors {recall:.3f} < 0.85"
