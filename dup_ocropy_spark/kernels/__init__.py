@@ -12,6 +12,9 @@ from dup_ocropy_spark.kernels.segment import Block, segment_payload
 from dup_ocropy_spark.kernels.classify import classify_blocks, logistic_scores
 from dup_ocropy_spark.kernels.reassemble import reassemble
 from dup_ocropy_spark.kernels.oracle import extract_turn, extract_frame
+from dup_ocropy_spark.kernels.ctc import (
+    align_sequence, ctc_align_targets, make_target,
+)
 
 __all__ = [
     "normalize_text", "project_text", "requote",
@@ -20,4 +23,5 @@ __all__ = [
     "classify_blocks", "logistic_scores",
     "reassemble",
     "extract_turn", "extract_frame",
+    "make_target", "ctc_align_targets", "align_sequence",
 ]
