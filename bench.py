@@ -93,8 +93,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     from dup_ocropy_spark.operators.registry import REGISTRY
 
     ops.load_all()
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        extra["spark.sql.files.maxPartitionBytes"] = \
+            os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"]
     spark = get_spark(f"local[{cpus}]", app_name=f"bench_{cpus}",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus, extra_conf=extra)
     sf = sf_from_dir(sf_dir)
     tpath = ensure_bench_transcripts(spark, sf)
     transcripts = spark.read.parquet(tpath)
@@ -146,6 +150,13 @@ def _scaling_point(cpus: int) -> dict:
                SPARK_GRAFT_SF_DIR=SF_DIR,
                SPARK_GRAFT_AFFINITY=f"0-{cpus - 1}",
                SPARK_GRAFT_BENCH_ONLY_EXTRACT="1",
+               # the bench table is only ~190MB: at the default 128MB split
+               # size a 2-core config gets TWO fused scan+UDF tasks with no
+               # overlap (a granularity regime a 100TB table never hits at
+               # any cluster size — there, every executor has thousands of
+               # splits). 8MB restores many-splits-per-core for every
+               # config, so the pair measures scaling, not task tails.
+               SPARK_GRAFT_MAX_PARTITION_BYTES="8m",
                # 4x the per-round table so the fastest config still runs
                # ~15s+ of steady state (fixed stage overhead <5%)
                SPARK_GRAFT_BENCH_CONVS=os.environ.get(
@@ -159,20 +170,23 @@ def _scaling_point(cpus: int) -> dict:
 def _mp_control(procs: int, n_convs: int = 600) -> float:
     """No-Spark control: raw multiprocessing.Pool over the same kernel,
     pinned to `procs` cores — measures the box's own scaling ceiling
-    (memory bandwidth / clocks), which Spark cannot beat."""
+    (memory bandwidth / clocks), which Spark cannot beat. The work list is
+    repeated proportionally to `procs` so every config times >=10s of
+    steady state (600 convs alone is ~7k turns: a sub-second window whose
+    noise once produced a nonsense 'superlinear' control eff)."""
     import multiprocessing as mp
 
-    from dup_ocropy_spark.kernels.oracle import extract_frame
     from dup_ocropy_spark.sources.transcripts import synth_conv
 
     os.sched_setaffinity(0, set(range(procs)))
     try:
         frames = [synth_conv(i)[0] for i in range(n_convs)]
-        n_turns = sum(len(f) for f in frames)
+        work = frames * (4 * procs)
+        n_turns = sum(len(f) for f in work)
         with mp.Pool(procs) as p:
-            p.map(_mp_work, frames[:40])  # warm imports
+            p.map(_mp_work, frames)  # warm imports in every worker
             t0 = time.time()
-            p.map(_mp_work, frames, chunksize=8)
+            p.map(_mp_work, work, chunksize=16)
             dt = time.time() - t0
         return n_turns / dt
     finally:
@@ -239,18 +253,25 @@ into a noop sink; Python workers pre-warmed, best of 2 runs.
 | 8  | {mp8:.0f} |
 | 32 | {mp32:.0f} |
 
-**control eff = {mp_eff:.3f}** — the single box itself stops scaling past
-~8 concurrent text-processing workers (shared memory bandwidth / clock
-budget; 32 physical cores, 1 thread/core). The Spark pipeline at 32
-cores ({r[32]:.0f} turns/s) exceeds the raw-multiprocessing ceiling
-({mp32:.0f} turns/s), i.e. the engine adds no sublinearity of its own —
-the 8->32 gap is the shared-memory box, which separate executor NODES in
-a real N->4N cluster do not share. The primary (unsaturated) pair is the
-faithful cluster analogy and meets the >=0.8 bar.
+**control eff = {mp_eff:.3f}** — the box's own 8->32 scaling for this
+text-processing kernel, with no Spark in the loop (shared memory
+bandwidth / clock budget; 32 physical cores, 1 thread/core). Spark's
+8->32 efficiency ({eff_8_32:.3f}) {"matches or beats" if eff_8_32 >= mp_eff - 0.05 else "trails"}
+the hardware control, and Spark at 32 cores ({r[32]:.0f} turns/s)
+{"exceeds" if r[32] >= mp32 else "reaches " + format(100 * r[32] / mp32, ".0f") + "% of"}
+the raw-multiprocessing throughput ({mp32:.0f} turns/s) — the engine adds
+no sublinearity of its own; the 8->32 falloff is the shared-memory box,
+which separate executor NODES in a real N->4N cluster do not share. The
+primary (unsaturated) pair is the faithful cluster analogy and
+{"meets" if eff_2_8 >= 0.8 else "MISSES"} the >=0.8 bar.
 
 Config: AQE on (coalescePartitions, skewJoin), Arrow batch cap 512 rows,
 shuffle partitions = cores; no pre-UDF repartition (input pre-scrambled;
-opt-in xxhash64(conv_id, turn_idx) salting covers clustered layouts).
+opt-in xxhash64(conv_id, turn_idx) salting covers clustered layouts);
+files.maxPartitionBytes=8m for the pinned pairs so every core budget gets
+many splits per core — the ~190MB bench table at the default 128MB gives
+a 2-core config two long tasks with no overlap, a granularity regime a
+100TB table never exhibits (there every executor has thousands of splits).
 
 ```json
 {json.dumps({"points": points, "eff_2_8": round(eff_2_8, 3),

@@ -129,6 +129,90 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(F.col("rk") <= TOP_K).drop("rk")
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index): the second scale path, complementary to
+# sign-projection LSH. A coarse quantizer (k-means over a BOUNDED driver
+# sample — the standard IVF training pattern) partitions the corpus into k
+# cells; queries probe the nprobe nearest cells only. Assignment is pure
+# JVM (dot products against literal centroid arrays), so the corpus-side
+# pass is one codegen stage + one shuffle on cell id. Not in the query
+# registry (50-entry driver window is full); recall gated in
+# tests/test_recall_gates.py like the LSH paths.
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_NPROBE = 3
+IVF_SAMPLE = 1024
+IVF_ITERS = 8
+
+
+def ivf_train_centroids(emb, dim: int = 64, k: int = IVF_K,
+                        sample: int = IVF_SAMPLE, iters: int = IVF_ITERS,
+                        seed: int = LSH_SEED) -> np.ndarray:
+    """Seeded k-means on a bounded sample (collect is capped at `sample`
+    rows — this is quantizer TRAINING, not a data pass)."""
+    rows = (emb.select("embedding").limit(sample).toPandas()["embedding"]
+            .tolist())
+    X = np.asarray([np.asarray(r, dtype=float) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)          # unit vectors: max dot
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _cell_dots(centroids: np.ndarray):
+    """array<double> of dot(embedding, centroid_j) for each cell, JVM-side."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(float(w)) for w in c]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for c in centroids
+    ])
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid cell id, pure JVM."""
+    dots = _cell_dots(centroids)
+    return emb.select(
+        "vec_id", "embedding",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"))
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Exact-rerank IVF ANN: queries probe their nprobe nearest cells."""
+    e = table(spark, sf_dir, "embeddings")
+    C = ivf_train_centroids(e)
+    corpus = ivf_assign(e, C)
+    dots = _cell_dots(C)
+    probe = F.slice(F.transform(
+        F.array_sort(F.zip_with(dots,
+                                F.sequence(F.lit(0), F.lit(len(C) - 1)),
+                                lambda d, i: F.struct((-d).alias("negd"),
+                                                      i.alias("cell")))),
+        lambda s: s["cell"]), 1, nprobe)
+    q = (e.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"),
+                 F.explode(probe.cast("array<int>")).alias("cell")))
+    cand = (F.broadcast(q)  # bounded: N_QUERIES x nprobe rows
+            .join(corpus, "cell")
+            .where(F.col("query_id") != F.col("vec_id")))
+    cos = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored = cand.select("query_id", "vec_id", cos.alias("cos"))
+    rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
+    return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
+                 .where(F.col("rk") <= TOP_K).drop("rk")
+
+
 @register(
     "embed_norms",
     sql="""

@@ -137,6 +137,24 @@ def test_simhash_banding_is_lossless_at_hamming_6(spark, dup_docs_dir):
         f"invented {sorted(banded_pairs - brute)}")
 
 
+def test_ivf_recall_vs_exact_topk(spark, ann_dir):
+    """IVF scale path: nprobe-cell search must recall the planted near
+    neighbors (same gate shape as the LSH path)."""
+    from dup_ocropy_spark.operators.similarity import ivf_topk
+
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    exact = REGISTRY["ann_cosine_topk"].spark(spark, ann_dir).toPandas()
+    approx = ivf_topk(spark, ann_dir).toPandas()
+    truth = {(q, v) for q, v, c in
+             exact[["query_id", "vec_id", "cos"]].itertuples(index=False)
+             if c >= 0.8}
+    got = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+    assert len(truth) == 15
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, f"ivf recall of near neighbors {recall:.3f} < 0.85"
+
+
 def test_ann_lsh_recall_vs_exact_topk(spark, ann_dir):
     from dup_ocropy_spark.operators.registry import REGISTRY
 
