@@ -53,20 +53,22 @@ def block_features(blocks: list[Block]) -> np.ndarray:
     n = len(blocks)
     X = np.zeros((n, len(FEATURE_NAMES)), dtype=np.float64)
     lens = np.empty(n, dtype=np.float64)
+    stop_contains = STOPWORDS.__contains__
     for i, b in enumerate(blocks):
         text = b.visible.strip()
-        nv = max(1, len(text))
+        nt = len(text)
+        nv = nt if nt else 1
         words = text.lower().split()
-        nw = max(1, len(words))
-        nstop = sum(1 for w in words if w in STOPWORDS)
-        total_wlen = sum(map(len, words))
-        lens[i] = len(text)
+        nw = len(words) or 1
+        nstop = sum(map(stop_contains, words))
+        lens[i] = nt
         X[i, 1] = b.link_density
         X[i, 2] = 1.0 if b.boiler else 0.0
         X[i, 3] = nstop / nw
-        X[i, 4] = (len(text) - len(text.translate(_PUNCT_DELETE))) / nw
-        X[i, 5] = (len(text) - len(text.translate(_DIGIT_DELETE))) / nv
-        X[i, 6] = total_wlen / nw if words else 0.0
+        X[i, 4] = (nt - len(text.translate(_PUNCT_DELETE))) / nw
+        X[i, 5] = (nt - len(text.translate(_DIGIT_DELETE))) / nv
+        # sum(word lengths) == stripped length minus inter-word whitespace
+        X[i, 6] = sum(map(len, words)) / nw if words else 0.0
         X[i, 7] = 1.0 if b.kind in _HEADING_KINDS else 0.0
     X[:, 0] = np.log1p(lens)  # vectorized over the batch, not per block
     return X

@@ -109,13 +109,17 @@ class _Assembler:
         self.kind = "text"
 
     def flush(self) -> None:
-        if not self.segs:
+        segs = self.segs
+        if not segs:
             return
-        s = self.segs[0][0]
-        e = self.segs[-1][1]
-        visible = "".join(t for _, _, t, _, _ in self.segs)
-        link_chars = sum(lc for _, _, _, lc, _ in self.segs)
-        boiler = any(bo for _, _, _, _, bo in self.segs)
+        if len(segs) == 1:  # fast path: most inter-separator runs are one piece
+            s, e, visible, link_chars, boiler = segs[0]
+        else:
+            s = segs[0][0]
+            e = segs[-1][1]
+            visible = "".join(t for _, _, t, _, _ in segs)
+            link_chars = sum(lc for _, _, _, lc, _ in segs)
+            boiler = any(bo for _, _, _, _, bo in segs)
         kind = self.kind
         self.segs = []
         if not visible.strip():

@@ -44,6 +44,25 @@ _COMPILED = [(re.compile(p), r) for p, r in REPLACEMENTS]
 _WS = re.compile(r"\s+")
 # fast-path guard: one scan for any char the replacement table touches
 _ANY_SPECIAL = re.compile("[_~#\"`´“”„‟‘’‚‛…′″‴〃µ–—ﬂﬁﬀﬃﬄ]")
+# whitespace other than a plain space (fast-path guard for the collapse)
+_EXOTIC_WS = re.compile(r"[^\S ]")
+
+
+def _table_from_replacements() -> dict[int, str]:
+    """Flatten REPLACEMENTS into one str.translate table. Valid because
+    every pattern is a single char or a char class and no replacement
+    output re-matches a later pattern (all outputs are ASCII quotes/
+    dots/dashes/letters; all patterns match non-ASCII or _~#"`); the
+    equivalence to the sequential sub chain is asserted in test_kernels."""
+    table: dict[int, str] = {}
+    for pat, repl in REPLACEMENTS:
+        chars = pat[1:-1] if pat.startswith("[") else pat.replace("\\", "")
+        for ch in chars:
+            table.setdefault(ord(ch), repl)
+    return table
+
+
+_HOMOGRAPH_TABLE = _table_from_replacements()
 
 
 def normalize_text(s: str) -> str:
@@ -54,12 +73,14 @@ def normalize_text(s: str) -> str:
     if s is None:
         return ""
     s = unicodedata.normalize("NFC", s)
-    s = _WS.sub(" ", s).strip()
+    # collapse whitespace runs; skip the regex when only single plain
+    # spaces are present (the common case)
+    if "  " in s or _EXOTIC_WS.search(s) is not None:
+        s = _WS.sub(" ", s)
+    s = s.strip()
     if _ANY_SPECIAL.search(s) is None:  # common case: no homographs present
         return s
-    for pat, repl in _COMPILED:
-        s = pat.sub(repl, s)
-    return s
+    return s.translate(_HOMOGRAPH_TABLE)  # one pass == the 18-sub chain
 
 
 _DOTROWS = re.compile(r"( *[.] *){4,}")

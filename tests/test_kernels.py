@@ -52,6 +52,27 @@ def test_normalize_text_table():
     assert normalize_text(None) == ""
 
 
+def test_normalize_translate_table_equals_sub_chain():
+    """The flattened str.translate table must be exactly equivalent to the
+    sequential regex-sub chain it replaced (the REPLACEMENTS spec)."""
+    import random
+
+    from dup_ocropy_spark.kernels.textnorm import _COMPILED, _HOMOGRAPH_TABLE
+
+    def sub_chain(s: str) -> str:
+        for pat, repl in _COMPILED:
+            s = pat.sub(repl, s)
+        return s
+
+    specials = "_~#\"`´“”„‟‘’‚‛…′″‴〃µ–—ﬂﬁﬀﬃﬄ"
+    assert sub_chain(specials) == specials.translate(_HOMOGRAPH_TABLE)
+    rng = random.Random(42)
+    pool = specials + "abc XYZ 123 .,-'"
+    for _ in range(200):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        assert sub_chain(s) == s.translate(_HOMOGRAPH_TABLE), repr(s)
+
+
 def test_project_text():
     assert project_text("A1 b2!", "letdig") == "A1b2"
     assert project_text("A1 b2!", "letters") == "Ab"
