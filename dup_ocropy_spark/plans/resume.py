@@ -59,7 +59,8 @@ def committed_buckets(out_dir: str) -> set[int]:
 def run_with_checkpoints(transcripts: DataFrame, out_dir: str, n_buckets: int = 8,
                          config: ExtractConfig = DEFAULT_CONFIG,
                          source_snapshot: str = "dev",
-                         fail_after_bucket: int | None = None) -> list[dict]:
+                         fail_after_bucket: int | None = None,
+                         salted: bool = False) -> list[dict]:
     """Extract bucket-by-bucket with commit-per-bucket; safe to re-run.
 
     ``fail_after_bucket`` injects a crash after committing that bucket
@@ -75,7 +76,7 @@ def run_with_checkpoints(transcripts: DataFrame, out_dir: str, n_buckets: int = 
             continue
         t0 = time.time()
         part = with_bucket.where(F.col("_bucket") == b).drop("_bucket")
-        out = extract(part, config)
+        out = extract(part, config, salted=salted)
         path = os.path.join(out_dir, f"bucket={b}")
         out.write.mode("overwrite").parquet(path)  # idempotent overwrite
         committed = transcripts.sparkSession.read.parquet(path)

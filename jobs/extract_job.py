@@ -44,6 +44,11 @@ def main(argv: list[str]) -> int:
                     help="source snapshot id recorded in lineage")
     ap.add_argument("--classifier", choices=("rule", "logistic"), default="rule")
     ap.add_argument("--input-format", choices=("parquet", "iceberg"), default="parquet")
+    ap.add_argument("--salted", action="store_true",
+                    help="salted pre-shuffle on xxhash64(conv_id, turn_idx): "
+                         "use when the input layout clusters conversations "
+                         "(time-ordered ingest); unnecessary for hash-"
+                         "scrambled or bucket(conv_id) layouts")
     args = ap.parse_args(argv)
 
     from dup_ocropy_spark.config import ExtractConfig
@@ -64,10 +69,11 @@ def main(argv: list[str]) -> int:
     if args.buckets > 0:
         entries = run_with_checkpoints(transcripts, args.output,
                                        n_buckets=args.buckets, config=config,
-                                       source_snapshot=args.snapshot)
+                                       source_snapshot=args.snapshot,
+                                       salted=args.salted)
         n_rows = sum(e["row_count"] for e in entries)
     else:
-        out = ordered(extract(transcripts, config))
+        out = ordered(extract(transcripts, config, salted=args.salted))
         write_output_with_lineage(out, args.output, args.snapshot)
         n_rows = spark.read.parquet(args.output).count()
     wall = time.time() - t0

@@ -26,6 +26,17 @@ BOUNDED_HINTS = {
 }
 
 
+def test_registry_fits_driver_window():
+    """The driver's correctness gate checks exactly the first 50 sorted
+    query names — an entry past that silently gets NO correctness row.
+    Adding a query requires merging or pruning another (round-1 shipped 7
+    unverified queries this way)."""
+    assert len(REGISTRY) <= 50, (
+        f"{len(REGISTRY)} registered queries; names past the 50-entry "
+        f"driver window get no correctness row: "
+        f"{sorted(REGISTRY)[50:]}")
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_unbounded_broadcast_hints(spark, name):
     df = REGISTRY[name].spark(spark, SF_DIR)
