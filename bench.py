@@ -265,7 +265,7 @@ which separate executor NODES in a real N->4N cluster do not share. The
 primary (unsaturated) pair is the faithful cluster analogy and
 {"meets" if eff_2_8 >= 0.8 else "MISSES"} the >=0.8 bar.
 
-Config: AQE on (coalescePartitions, skewJoin), Arrow batch cap 512 rows,
+Config: AQE on (coalescePartitions, skewJoin), Arrow batch cap 2048 rows,
 shuffle partitions = cores; no pre-UDF repartition (input pre-scrambled;
 opt-in xxhash64(conv_id, turn_idx) salting covers clustered layouts);
 files.maxPartitionBytes=8m for the pinned pairs so every core budget gets

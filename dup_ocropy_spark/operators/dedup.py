@@ -42,9 +42,13 @@ MAX_SHINGLE_DF = 20  # stop-shingle cutoff
         "rows removed): one shuffle on a 16-byte hash key at any scale",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_keep_first(table(spark, sf_dir, "documents"))
+
+
+def exact_keep_first(d: DataFrame) -> DataFrame:
+    """Survivor set (min doc_id per text hash) + group multiplicity."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
     w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     wc = W.partitionBy(F.md5("text"))
     return (d.select("doc_id",
@@ -67,10 +71,9 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_of(d: DataFrame) -> DataFrame:
     """Distinct positional char shingles per doc (JVM-side: sequence +
-    explode + substring, no Python)."""
-    d = table(spark, sf_dir, "documents")
+    explode + substring, no Python). Input: (doc_id, text)."""
     pos = F.explode(F.sequence(
         F.lit(1),
         F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1)),
@@ -79,6 +82,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.substring(F.col("text"), F.col("p").cast("int"), SHINGLE_LEN)
                     .alias("sh"))
             .distinct())
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -106,11 +113,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "-> self-join -> set overlap; the exact baseline MinHash approximates",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     # the shingle set feeds three consumers (docfreq filter, per-doc counts,
     # the self-join's two sides) — persist so the explode runs once, not 3x
     # (measured ~1.7x at sf0.1; the production pattern at 100 TB is the same
     # idea two-phase: materialize shingles/signatures as a table first)
-    sh = _shingles(spark, sf_dir).persist()
+    sh = shingles_of(docs).persist()
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
     sh2 = (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
            .select("doc_id", "sh")).persist()
@@ -130,7 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
          .join(cb, F.col("doc_b") == F.col("cb.doc_id")))
     jac = F.col("n_inter").cast("double") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter"))
-    return (j.where(jac >= 0.2)
+    return (j.where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
 
@@ -179,7 +190,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         "bucket joins replace the quadratic shingle self-join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    return minhash_candidates(table(spark, sf_dir, "documents"))
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    sh = shingles_of(docs)
     # both sides of the bucket self-join read the signatures: persist so the
     # shingle explode + 32-hash agg run once (3x at sf0.1; two-phase
     # signature table in production)
@@ -250,7 +265,11 @@ assert sum(w for _, w in _SIMHASH_BLOCKS) == 64
         "hamming<=6), per-block equi-join, bit_count(xor) rerank in the JVM",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    d = docs.select("doc_id", "text")
     # persist: the self-join would otherwise run the Python signature UDF
     # twice (measured 2x wall at sf0.1; production = signature table first)
     sig = d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long").persist()

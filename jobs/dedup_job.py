@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: corpus deduplication sweep.
+
+    spark-submit --py-files dup_ocropy_spark.zip jobs/dedup_job.py \
+        --input <docs parquet> --output <out dir> \
+        --method minhash [--id-col doc_id --text-col text]
+
+Methods:
+  exact    keep-first survivor set + per-group multiplicity (one shuffle)
+  jaccard  exact n-gram Jaccard pairs >= --threshold (stop-shingle-capped
+           self-join; the verification baseline)
+  minhash  MinHash+LSH candidate pairs (16 bands x 2 rows; the 100TB path,
+           recall vs jaccard gated in tests)
+  simhash  SimHash pairs at hamming <= 6 (7-block banding, lossless)
+
+Writes the result as parquet under --output and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--method", choices=("exact", "jaccard", "minhash", "simhash"),
+                    default="minhash")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.2,
+                    help="jaccard cutoff (jaccard method only)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.dedup import (
+        exact_keep_first, jaccard_pairs, minhash_candidates, simhash_pairs,
+    )
+    from dup_ocropy_spark.session import get_spark
+
+    spark = get_spark(app_name="dup_ocropy_dedup")
+    docs = (spark.read.parquet(args.input)
+            .select(F.col(args.id_col).cast("long").alias("doc_id"),
+                    F.col(args.text_col).alias("text")))
+
+    t0 = time.time()
+    if args.method == "exact":
+        out = exact_keep_first(docs)
+    elif args.method == "jaccard":
+        out = jaccard_pairs(docs, args.threshold)
+    elif args.method == "minhash":
+        out = minhash_candidates(docs)
+    else:
+        out = simhash_pairs(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"method": args.method, "rows": n,
+                      "wall_sec": round(time.time() - t0, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,88 @@
+"""End-to-end smoke for the spark-submit entrypoints (the user-facing CLI
+surface, mirroring the reference's ocropus-* programs): each job's main()
+runs against tmp parquet and produces the promised outputs. main() is
+invoked in-process (the tests' shared local session is picked up by
+get_spark), so these cover arg plumbing, not cluster deploy."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+from dup_ocropy_spark.sources.transcripts import synth_expected, synth_transcripts
+
+sys.path.insert(0, "/root/repo/jobs")
+
+import dedup_job  # noqa: E402
+import eval_job  # noqa: E402
+import extract_job  # noqa: E402
+import train_job  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("job_in") / "transcripts"
+    synth_transcripts(spark, 30).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _run(mod, argv, capsys) -> dict:
+    assert mod.main(argv) == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_extract_job_single_pass_and_resume(spark, transcripts_path, tmp_path, capsys):
+    rep = _run(extract_job,
+               ["--input", transcripts_path, "--output", str(tmp_path / "o1"),
+                "--buckets", "0", "--salted"], capsys)
+    assert rep["rows"] > 0 and "empty" in rep["rejects"]
+    rep2 = _run(extract_job,
+                ["--input", transcripts_path, "--output", str(tmp_path / "o2"),
+                 "--buckets", "4", "--snapshot", "snap1"], capsys)
+    assert rep2["rows"] == rep["rows"]
+
+
+def test_eval_job_against_ground_truth(spark, transcripts_path, tmp_path, capsys):
+    out = str(tmp_path / "pred")
+    assert extract_job.main(["--input", transcripts_path, "--output", out,
+                             "--buckets", "0"]) == 0
+    gt = str(tmp_path / "gt")
+    synth_expected(spark, 30).write.mode("overwrite").parquet(gt)
+    capsys.readouterr()
+    rep = _run(eval_job, ["--pred", out, "--gt", gt], capsys)
+    # extraction matches the construction ground truth -> zero CER
+    assert rep["cer"] == 0.0 and rep["n_missing"] == 0 and rep["n_turns"] > 0
+
+
+def test_dedup_job_methods(spark, tmp_path, capsys):
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["alpha bravo charlie delta echo foxtrot golf hotel " * 4] * 2
+                + [f"unique document number {i} with its own words " * 4
+                   for i in range(4)],
+    })
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+    exact = _run(dedup_job, ["--input", src, "--output", str(tmp_path / "e"),
+                             "--method", "exact"], capsys)
+    assert exact["rows"] == 5  # 6 docs, one exact-dup pair
+    for method, min_rows in (("jaccard", 1), ("minhash", 1), ("simhash", 1)):
+        rep = _run(dedup_job, ["--input", src, "--output",
+                               str(tmp_path / method), "--method", method], capsys)
+        assert rep["rows"] >= min_rows, method
+        pairs = spark.read.parquet(str(tmp_path / method)).collect()
+        assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs), method
+
+
+def test_train_job_writes_model(spark, transcripts_path, tmp_path, capsys):
+    model = str(tmp_path / "model.json")
+    rep = _run(train_job, ["--input", transcripts_path, "--model-out", model,
+                           "--epochs", "60"], capsys)
+    assert rep["train_accuracy"] > 0.8
+    art = json.load(open(model))
+    assert art["kind"] == "logistic" and len(art["weights"]) > 0
