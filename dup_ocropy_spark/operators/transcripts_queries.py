@@ -52,9 +52,11 @@ _GATE_SQL = """
            CASE WHEN {_GATE_SQL} IS NOT NULL
                      OR length(trim(text)) < 8 THEN 0 ELSE 1 END AS n_content,
            CASE WHEN {_GATE_SQL} IS NOT NULL OR length(trim(text)) < 8 THEN ''
-                ELSE trim(regexp_replace(replace(replace(text, '"', ''''''),
-                                                 '`', ''''),
-                                         '\\s+', ' ', 'g')) END AS extracted_text,
+                ELSE trim(regexp_replace(
+                       replace(replace(replace(replace(text, '&amp;', '&'),
+                                               chr(181), chr(956)),
+                                       '"', ''''''), '`', ''''),
+                       '\\s+', ' ', 'g')) END AS extracted_text,
            {_GATE_SQL} AS reject_reason
     FROM documents
     """,
@@ -106,12 +108,18 @@ _HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
     "extract_documents_html",
     sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(replace(replace(substr(text, 1, 30),
-                                               '"', ''''''), '`', ''''),
-                               '\\s+', ' ', 'g'))
+           trim(regexp_replace(
+                  replace(replace(replace(replace(substr(text, 1, 30),
+                                                  '&amp;', '&'),
+                                          chr(181), chr(956)),
+                                  '"', ''''''), '`', ''''),
+                  '\\s+', ' ', 'g'))
              || chr(10) ||
-           trim(regexp_replace(replace(replace(text, '"', ''''''), '`', ''''),
-                               '\\s+', ' ', 'g')) AS extracted_text,
+           trim(regexp_replace(
+                  replace(replace(replace(replace(text, '&amp;', '&'),
+                                          chr(181), chr(956)),
+                                  '"', ''''''), '`', ''''),
+                  '\\s+', ' ', 'g')) AS extracted_text,
            2 AS n_content,
            4 AS n_blocks
     FROM documents

@@ -1,0 +1,61 @@
+"""Oracle parity on a corpus WITH quotes/backticks/ampersands/µ.
+
+The driver's sf corpora contain none of these (verified round 1), so the
+extraction oracles' normalization chains were untested against them — an
+oracle that forgets the '\"'->'' / backtick->' normalization stays green
+on driver data and breaks on any real corpus (ADVICE r01, low #2). This
+fixture makes the homograph path load-bearing for the parity gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import dup_ocropy_spark.operators as _ops
+from dup_ocropy_spark.operators.registry import REGISTRY
+
+_ops.load_all()
+
+QUERIES = ("extract_documents", "extract_documents_html", "t1_textnorm_family")
+
+
+@pytest.fixture(scope="module")
+def special_dir(tmp_path_factory):
+    texts = [
+        'He said "hello there" and left the room quietly after that.',
+        "A `quoted` word and a 5µm gap measured with great care here.",
+        'Mixed "double" and `single` quotes &amp; an entity in one doc.',
+        "Plain control text with no special characters at all in it today.",
+        'Trailing quote at the very end of this document right here: "',
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": [t + " Padding words so the payload clears the minimum gate. " * 2
+                 for t in texts],
+        "source": ["s0"] * len(texts),
+        "lang": ["en"] * len(texts),
+    })
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("specialdocs")
+    pq.write_table(pa.Table.from_pandas(pdf), d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_parity_with_special_chars(spark, special_dir, name):
+    from tests.test_oracle_parity import _canon, _dtype_family
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{special_dir}/documents.parquet')")
+    sdf = REGISTRY[name].spark(spark, special_dir).toPandas()
+    odf = con.sql(REGISTRY[name].sql).df()
+    assert len(sdf) == len(odf) > 0
+    a, b = _canon(sdf), _canon(odf)
+    for c in a.columns:
+        assert _dtype_family(a[c]) == _dtype_family(b[c]), (name, c)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-8, obj=name)
