@@ -53,6 +53,27 @@ def windowed_throughput(stream: DataFrame, config: ExtractConfig = DEFAULT_CONFI
                  .alias("n_rejected")))
 
 
+def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: md5 fingerprint of the normalized payload,
+    duplicates dropped across micro-batches while their event time is
+    inside the watermark (state is GC'd past it — the streaming analog of
+    dedup_exact; MinHash/SimHash near-dup stays a batch job because its
+    self-join is not incremental).
+
+    Uses dropDuplicatesWithinWatermark so the dedup state is bounded at
+    100 TB/day ingest: a fingerprint is only held for `watermark` of
+    event time, not forever."""
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            if c in stream.columns]
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(
+        F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text")),
+        r"\s+", " "))))
+    return (stream.select(*cols)
+            .withColumn("fp", fp)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def start_extract_stream(spark: SparkSession, input_path: str, output_path: str,
                          checkpoint_path: str,
                          config: ExtractConfig = DEFAULT_CONFIG):

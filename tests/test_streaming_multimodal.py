@@ -63,6 +63,51 @@ def test_streaming_windowed_throughput(spark, stream_input):
     assert total == spark.read.parquet(stream_input).count()
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact-dup payloads arriving in later micro-batches are dropped
+    while inside the watermark; distinct payloads all survive."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    texts = [f"document number {i} with plenty of distinct words" for i in range(6)]
+
+    def rows(ids, minute):
+        return pd.DataFrame({
+            "conv_id": [f"c{i}" for i in ids],
+            "turn_idx": pd.array(ids, dtype="int32"),
+            "role": "user",
+            "text": [texts[i % 6] for i in ids],
+            "tool": "",
+            "ts": [base + dt.timedelta(minutes=minute)] * len(ids),
+        })
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    # batch 1: docs 0-3; batch 2 (later file): dups of 0,1 + new 4,5
+    spark.createDataFrame(rows([0, 1, 2, 3], 0)).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(rows([0, 1, 4, 5], 5)).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(
+                  "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = (deduped_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT text FROM dedup_out").toPandas()["text"]
+    assert sorted(got) == sorted(texts)  # each distinct payload exactly once
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 48)
     feats = extract_media_features(media, decoder="fake")
