@@ -107,9 +107,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     queries: dict[str, float] = {}
 
     # headline: full extraction over the transcript table (warm the Python
-    # workers first so cold-start import time isn't measured, then best of 2)
+    # workers first so cold-start import time isn't measured, then best of 3
+    # — this sandbox is a shared-host microVM and run-to-run wall varies
+    # +-30% with host contention; min-of-3 samples the uncontended rate)
     extract(transcripts.limit(5000)).write.mode("overwrite").format("noop").save()
-    t_extract = min(timed_noop(extract(transcripts)) for _ in range(2))
+    t_extract = min(timed_noop(extract(transcripts)) for _ in range(3))
     queries["extract_transcripts"] = round(t_extract, 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_EXTRACT"):

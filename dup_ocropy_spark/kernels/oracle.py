@@ -88,31 +88,36 @@ def extract_frame(pdf: pd.DataFrame, config: ExtractConfig = DEFAULT_CONFIG) -> 
     n = len(pdf)
     texts = pdf["text"].to_numpy(dtype=object) if "text" in pdf else np.array([None] * n, dtype=object)
     tools = pdf["tool"].to_numpy(dtype=object) if "tool" in pdf else np.array([None] * n, dtype=object)
-    masks = pdf["mask"].to_numpy(dtype=object) if "mask" in pdf else np.array([None] * n, dtype=object)
-    rows = {
-        "conv_id": pdf["conv_id"].to_numpy(dtype=object),
-        "turn_idx": pdf["turn_idx"].to_numpy(),
-        "role": pdf["role"].to_numpy(dtype=object) if "role" in pdf else np.array([""] * n, dtype=object),
-    }
-    results = [
-        extract_turn(
-            texts[i] if isinstance(texts[i], str) else None,
-            tools[i] if isinstance(tools[i], str) else None,
-            list(masks[i]) if masks[i] is not None and not (np.isscalar(masks[i]) and pd.isna(masks[i])) else None,
-            config,
-        )
-        for i in range(n)
-    ]
+    masks = pdf["mask"].to_numpy(dtype=object) if "mask" in pdf else None
+    # fill output columns directly (no intermediate list-of-dicts: the
+    # row-dict detour measured ~15% of batch wall)
+    pl = np.empty(n, dtype=np.int32)
+    nb = np.empty(n, dtype=np.int32)
+    nc = np.empty(n, dtype=np.int32)
+    et = np.empty(n, dtype=object)
+    sp = np.empty(n, dtype=object)
+    rr = np.empty(n, dtype=object)
+    for i in range(n):
+        m = None
+        if masks is not None and masks[i] is not None \
+                and not (np.isscalar(masks[i]) and pd.isna(masks[i])):
+            m = list(masks[i])
+        r = extract_turn(texts[i] if isinstance(texts[i], str) else None,
+                         tools[i] if isinstance(tools[i], str) else None,
+                         m, config)
+        pl[i] = r["payload_len"]
+        nb[i] = r["n_blocks"]
+        nc[i] = r["n_content"]
+        et[i] = r["extracted_text"]
+        sp[i] = r["spans"]
+        rr[i] = r["reject_reason"]
     out = pd.DataFrame({
-        "conv_id": rows["conv_id"],
-        "turn_idx": pd.array(rows["turn_idx"], dtype="int32"),
-        "role": rows["role"],
-        "payload_len": pd.array([r["payload_len"] for r in results], dtype="int32"),
-        "n_blocks": pd.array([r["n_blocks"] for r in results], dtype="int32"),
-        "n_content": pd.array([r["n_content"] for r in results], dtype="int32"),
-        "extracted_text": pd.array([r["extracted_text"] for r in results], dtype=object),
-        "spans": pd.array([r["spans"] for r in results], dtype=object),
-        "reject_reason": pd.array([r["reject_reason"] for r in results], dtype=object),
+        "conv_id": pdf["conv_id"].to_numpy(dtype=object),
+        "turn_idx": pdf["turn_idx"].to_numpy().astype("int32"),
+        "role": (pdf["role"].to_numpy(dtype=object) if "role" in pdf
+                 else np.array([""] * n, dtype=object)),
+        "payload_len": pl, "n_blocks": nb, "n_content": nc,
+        "extracted_text": et, "spans": sp, "reject_reason": rr,
     })
     if "ts" in pdf:  # event-time passthrough for streaming consumers
         out["ts"] = pdf["ts"].to_numpy()
