@@ -1,0 +1,68 @@
+"""Topological ordering of a precedence DAG (reference O2).
+
+Reference behavior: ``ocrolib/psegutils.py`` ``topsort`` linearizes the
+block-precedence relation (visit order consistent with every edge). The
+engine's 1-D payload order makes this moot inside the extraction pipeline
+(reading order IS a total order, SURVEY.md O2), so this is the
+general-purpose operator a user gets for precedence tables that are NOT
+totally ordered — e.g. cross-references between conversations or derived
+dataset dependencies.
+
+Spark-first shape: longest-path layering by iterated join —
+``level(v) = 0`` for sources, else ``1 + max(level(u)) over edges u->v``.
+Each iteration is one equi-join + groupBy (both on the node key, AQE
+handles skew); the loop runs depth(DAG) times, the classic frontier
+pattern for iterative algorithms on DataFrames. ``(level, node)`` sorting
+then yields a deterministic linear extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def topological_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """edges(src, dst) -> (node, level): longest-path layer per node.
+
+    Raises ValueError if levels fail to converge within ``max_iters``
+    (a cycle, or a deeper DAG than the bound).
+    """
+    edges = edges.select("src", "dst").distinct().persist()
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    levels = nodes.withColumn("level", F.lit(0)).persist()
+    for _ in range(max_iters):
+        # relax: a node's level must exceed every predecessor's
+        bumped = (edges.join(levels.withColumnRenamed("node", "src"), "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg((F.max("level") + 1).alias("level")))
+        new_levels = (levels.unionByName(bumped)
+                      .groupBy("node").agg(F.max("level").alias("level"))
+                      # truncate lineage: iterative plans otherwise grow
+                      # unboundedly and re-execute from the source each pass
+                      .localCheckpoint())
+        changed = (new_levels.alias("n")
+                   .join(levels.alias("o"), "node")
+                   .where(F.col("n.level") != F.col("o.level")).limit(1)
+                   .count())
+        levels.unpersist()
+        levels = new_levels
+        if changed == 0:
+            edges.unpersist()
+            return levels
+    edges.unpersist()
+    raise ValueError(f"topological_levels did not converge in {max_iters} "
+                     f"iterations (cycle, or raise max_iters)")
+
+
+def topsort(edges: DataFrame) -> DataFrame:
+    """(node, level, rank): deterministic linear extension of the DAG —
+    rank orders by (level, node), so every edge points to a higher rank
+    (reference topsort contract)."""
+    from pyspark.sql import Window as W
+
+    levels = topological_levels(edges)
+    w = W.orderBy("level", "node")
+    return levels.select("node", "level",
+                         F.row_number().over(w).alias("rank"))
