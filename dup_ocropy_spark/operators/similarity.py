@@ -48,8 +48,12 @@ def _cosine(a, b):
         "exact baseline for ANN",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    q = (e.where(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(table(spark, sf_dir, "embeddings"))
+
+
+def cosine_topk(e: DataFrame, n_queries: int = N_QUERIES,
+                top_k: int = TOP_K) -> DataFrame:
+    q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")))
     j = F.broadcast(q).crossJoin(e.select("vec_id", "embedding"))
     j = j.where(F.col("query_id") != F.col("vec_id"))
@@ -57,7 +61,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = j.select("query_id", "vec_id", cos.alias("cos"))
     rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
     return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
-                 .where(F.col("rk") <= TOP_K).drop("rk")
+                 .where(F.col("rk") <= top_k).drop("rk")
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +84,7 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return rng.standard_normal((N_TABLES, PLANES_PER_TABLE, dim))
 
 
-def lsh_bucket_ids(spark: SparkSession, emb: DataFrame, dim: int = 64) -> DataFrame:
+def lsh_bucket_ids(emb: DataFrame, dim: int = 64) -> DataFrame:
     """(vec_id, embedding, lsh_table, bucket) with one row per table:
     sign-pattern of dot products with literal random hyperplanes, computed
     JVM-side (zip_with + aggregate) — no Python, no shuffle."""
@@ -111,9 +115,13 @@ def lsh_bucket_ids(spark: SparkSession, emb: DataFrame, dim: int = 64) -> DataFr
         "joins; recall vs ann_cosine_topk gated in tests)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    with_b = lsh_bucket_ids(spark, e)
-    q = (with_b.where(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(table(spark, sf_dir, "embeddings"))
+
+
+def lsh_topk(e: DataFrame, n_queries: int = N_QUERIES,
+             top_k: int = TOP_K) -> DataFrame:
+    with_b = lsh_bucket_ids(e)
+    q = (with_b.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
                  F.col("lsh_table").alias("qt"), F.col("bucket").alias("qb")))
     cand = (F.broadcast(q)  # bounded: N_QUERIES x N_TABLES rows
@@ -126,7 +134,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select("query_id", "vec_id", cos.alias("cos"))
     rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
     return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
-                 .where(F.col("rk") <= TOP_K).drop("rk")
+                 .where(F.col("rk") <= top_k).drop("rk")
 
 
 # ---------------------------------------------------------------------------
@@ -188,8 +196,12 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:
+    return ivf_topk_of(table(spark, sf_dir, "embeddings"), nprobe)
+
+
+def ivf_topk_of(e: DataFrame, nprobe: int = IVF_NPROBE,
+                n_queries: int = N_QUERIES, top_k: int = TOP_K) -> DataFrame:
     """Exact-rerank IVF ANN: queries probe their nprobe nearest cells."""
-    e = table(spark, sf_dir, "embeddings")
     C = ivf_train_centroids(e)
     corpus = ivf_assign(e, C)
     dots = _cell_dots(C)
@@ -199,7 +211,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
                                 lambda d, i: F.struct((-d).alias("negd"),
                                                       i.alias("cell")))),
         lambda s: s["cell"]), 1, nprobe)
-    q = (e.where(F.col("vec_id") < N_QUERIES)
+    q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe"),
                  F.explode(probe.cast("array<int>")).alias("cell")))
@@ -210,7 +222,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> Data
     scored = cand.select("query_id", "vec_id", cos.alias("cos"))
     rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
     return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
-                 .where(F.col("rk") <= TOP_K).drop("rk")
+                 .where(F.col("rk") <= top_k).drop("rk")
 
 
 @register(

@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo/jobs")
 import dedup_job  # noqa: E402
 import eval_job  # noqa: E402
 import extract_job  # noqa: E402
+import similarity_job  # noqa: E402
 import train_job  # noqa: E402
 
 
@@ -77,6 +78,38 @@ def test_dedup_job_methods(spark, tmp_path, capsys):
         assert rep["rows"] >= min_rows, method
         pairs = spark.read.parquet(str(tmp_path / method)).collect()
         assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs), method
+
+
+def test_similarity_job_methods(spark, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((80, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for q in range(3):             # plant one near neighbor per query
+        v = base[q] + 0.05 * rng.standard_normal(64)
+        base[10 + q] = v / np.linalg.norm(v)
+    src = tmp_path / "emb"
+    src.mkdir()
+    pq.write_table(pa.Table.from_arrays(
+        [pa.array(range(80), type=pa.int64()),
+         pa.array([list(map(float, r)) for r in base],
+                  type=pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"]), src / "part.parquet")
+    results = {}
+    for method in ("brute", "lsh", "ivf"):
+        rep = _run(similarity_job,
+                   ["--input", str(src), "--output", str(tmp_path / method),
+                    "--method", method, "--n-queries", "3", "--top-k", "2"],
+                   capsys)
+        assert rep["rows"] == 6, method  # 3 queries x top-2
+        got = spark.read.parquet(str(tmp_path / method)).collect()
+        results[method] = {(r.query_id, r.vec_id) for r in got}
+        # every method must surface the planted neighbor for each query
+        for q in range(3):
+            assert (q, 10 + q) in results[method], method
 
 
 def test_train_job_writes_model(spark, transcripts_path, tmp_path, capsys):
