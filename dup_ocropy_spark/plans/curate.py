@@ -1,0 +1,71 @@
+"""Corpus curation: the composed training-data pipeline.
+
+    transcripts -> extract (fused kernel stage)
+                -> conversation reassembly (stable turn order, JVM)
+                -> quality gates (length / word-shape / stopword ratio,
+                   the P1-P3 validation-gate family at corpus grain)
+                -> exact dedup keep-first (one shuffle on a text hash)
+                -> near-dup candidate accounting (MinHash+LSH)
+
+This is the chain a pretraining-data user runs over raw transcript dumps;
+every stage is an operator that is independently oracle-checked or
+recall-gated. One Python boundary total (the extraction kernel); gates,
+reassembly, dedup, and stats are all JVM/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
+from dup_ocropy_spark.operators.dedup import exact_keep_first, minhash_candidates
+from dup_ocropy_spark.plans.extract import conversation_text, extract
+
+
+def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_words / avg_word_len / stop_ratio / is_quality (the same
+    arithmetic as the oracle-checked quality_score query)."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    awl = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_words
+
+    def occurrences(needle: str):
+        return ((F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+                / len(needle)).cast("bigint")
+
+    stop_ratio = (occurrences(" the ") + occurrences(" a ")).cast("double") / n_words
+    d = (docs.where(F.length(F.trim(t)) > 0)
+         .withColumn("n_words", n_words)
+         .withColumn("avg_word_len", F.round(awl, 6))
+         .withColumn("stop_ratio", F.round(stop_ratio, 6)))
+    is_q = ((F.col("n_words") >= 10)
+            & F.col("avg_word_len").between(2, 12)
+            & (F.col("stop_ratio") >= 0.02))
+    return d.withColumn("is_quality", is_q)
+
+
+def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
+           salted: bool = False) -> tuple[DataFrame, DataFrame]:
+    """-> (curated, stats): curated(conv_id, text, n_turns_with_content,
+    n_words) after quality gates + exact dedup; stats is a 1-row frame
+    accounting for every drop (the reject-report discipline at corpus
+    grain — silent filtering is how training sets rot)."""
+    conv = conversation_text(extract(transcripts, config, salted=salted))
+    docs = conv.select(F.col("conv_id"), F.col("conv_text").alias("text"),
+                       "n_turns_with_content")
+    scored = quality_columns(docs).persist()
+    quality = scored.where(F.col("is_quality"))
+    # exact dedup on an integer alias of conv_id keeps the operator core
+    # reusable (it orders survivors by doc_id); map back through a join
+    keyed = quality.withColumn("doc_id", F.xxhash64("conv_id"))
+    survivors = exact_keep_first(keyed.select("doc_id", "text"))
+    curated = (keyed.join(survivors.select("doc_id"), "doc_id")
+               .select("conv_id", "text", "n_turns_with_content", "n_words"))
+    near_candidates = minhash_candidates(keyed.select("doc_id", "text"))
+    stats = (scored.agg(
+        F.count("*").alias("n_convs"),
+        F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("n_quality"))
+        .crossJoin(curated.agg(F.count("*").alias("n_after_exact_dedup")))
+        .crossJoin(near_candidates.agg(
+            F.count("*").alias("n_neardup_candidates"))))
+    return curated, stats

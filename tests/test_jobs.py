@@ -15,6 +15,7 @@ from dup_ocropy_spark.sources.transcripts import synth_expected, synth_transcrip
 
 sys.path.insert(0, "/root/repo/jobs")
 
+import curate_job  # noqa: E402
 import dedup_job  # noqa: E402
 import eval_job  # noqa: E402
 import extract_job  # noqa: E402
@@ -110,6 +111,28 @@ def test_similarity_job_methods(spark, tmp_path, capsys):
         # every method must surface the planted neighbor for each query
         for q in range(3):
             assert (q, 10 + q) in results[method], method
+
+
+def test_curate_job_pipeline(spark, tmp_path, capsys):
+    """extract -> quality gate -> dedup, with planted duplicate
+    conversations: the duplicates must NOT survive, every drop must be
+    accounted for in the stats line."""
+    from pyspark.sql import functions as F
+
+    base = synth_transcripts(spark, 25)
+    dup = base.withColumn("conv_id", F.concat(F.lit("dup_"), "conv_id"))
+    src = str(tmp_path / "in")
+    base.unionByName(dup).write.mode("overwrite").parquet(src)
+    rep = _run(curate_job, ["--input", src, "--output",
+                            str(tmp_path / "curated")], capsys)
+    assert rep["n_quality"] <= rep["n_convs"]
+    # every quality conversation exists twice -> exact dedup halves it
+    assert rep["n_after_exact_dedup"] == rep["n_quality"] // 2
+    assert rep["n_neardup_candidates"] >= rep["n_after_exact_dedup"]
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    assert curated.count() == rep["n_after_exact_dedup"]
+    texts = curated.select("text").toPandas()["text"]
+    assert texts.nunique() == len(texts)  # no duplicate text survived
 
 
 def test_train_job_writes_model(spark, transcripts_path, tmp_path, capsys):
