@@ -95,6 +95,32 @@ def test_forward_backward_monotone_alignment():
     assert (np.diff(best_state) >= 0).all()
 
 
+def test_alignment_invariant_to_posterior_scaling():
+    """The aligner renormalizes inputs, so scaling all posteriors by a
+    positive constant must not change the result (property of the
+    log-domain DP: a constant per-row offset shifts fwd+bwd uniformly)."""
+    seq = [1, 2]
+    outputs = _planted_outputs(seq, nc=3, seed=11)
+    a = align_sequence(outputs, seq)
+    b = align_sequence(outputs * 7.3, seq)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_single_class_alignment_emits_only_blank_or_target():
+    """Aligning against a one-class sequence can never hallucinate another
+    class: every per-timestep soft target is blank or the target (the
+    per-timestep argmax may re-enter the class across blank gaps on random
+    posteriors — the state posterior is a distribution over paths, not one
+    path — so the collapse may repeat, but never invent)."""
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        outputs = rng.dirichlet(np.ones(4), size=15)
+        aligned = align_sequence(outputs, [2])
+        classes = set(aligned.argmax(axis=1))
+        assert classes <= {0, 2}, (trial, classes)
+        assert set(collapse(aligned.argmax(axis=1))) <= {2}, trial
+
+
 def test_ctc_soft_targets_train_block_classifier():
     """End goal (reference SeqRecognizer.trainSequence): train the
     bidirectional LSTM from COLLAPSED content-segment sequences only —
