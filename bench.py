@@ -128,8 +128,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "quality_score", "doc_fingerprint",
     ]
     for name in bench_names:
+        # min-of-3: shared-host contention showed an 8x outlier on a
+        # single per-query sample (see BENCH/runs.jsonl note)
         queries[name] = round(min(timed_noop(REGISTRY[name].spark(spark, sf_dir))
-                                  for _ in range(2)), 3)
+                                  for _ in range(3)), 3)
 
     total = round(sum(queries.values()), 3)
     result = {
