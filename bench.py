@@ -132,6 +132,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # single per-query sample (see BENCH/runs.jsonl note)
         queries[name] = round(min(timed_noop(REGISTRY[name].spark(spark, sf_dir))
                                   for _ in range(3)), 3)
+        # dedup helpers persist() shared intermediates per invocation;
+        # drop them between queries so 3x-sampled runs don't accumulate
+        # cached blocks for the session lifetime
+        spark.catalog.clearCache()
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -264,7 +268,7 @@ parquet. Timed action: full extraction pipeline (scan -> one fused
 mapInPandas kernel chain, ZERO pre-UDF shuffles: the input is
 hash-scrambled on disk, so maxPartitionBytes-bounded splits are already
 balanced; the salted repartition is opt-in for conv-clustered layouts)
-into a noop sink; Python workers pre-warmed, best of 2 runs.
+into a noop sink; Python workers pre-warmed, best of 3 runs.
 
 ## Primary pair: N=2 -> 4N=8 cores (unsaturated regime)
 

@@ -11,6 +11,13 @@ against quadratic blowup on boilerplate; MinHash/LSH replaces the
 full shingle join with b tiny bucket joins whose keys are
 (band, minhash-of-band) — each bucket is small by construction and
 AQE's skew-join splits any pathological bucket.
+
+Caching: the pair helpers ``persist()`` shared intermediates (shingles /
+signatures) for the duration of one invocation and leave release to the
+caller — long-lived sessions that invoke them repeatedly should
+``spark.catalog.clearCache()`` between invocations (bench.py does), or
+use the two-phase job mode which materializes the signature table to
+parquet instead of executor memory.
 """
 
 from __future__ import annotations
@@ -45,16 +52,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_keep_first(table(spark, sf_dir, "documents"))
 
 
-def exact_keep_first(d: DataFrame) -> DataFrame:
-    """Survivor set (min doc_id per text hash) + group multiplicity."""
+def exact_keep_first(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Survivor set (min ``id_col`` per text hash) + group multiplicity.
+
+    Any orderable key works — callers with a natural string key (e.g.
+    conv_id) pass it directly instead of minting a surrogate hash whose
+    birthday collisions would silently drop non-duplicates at 1e9-doc
+    scale."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = W.partitionBy(F.md5("text")).orderBy(id_col)
     wc = W.partitionBy(F.md5("text"))
-    return (d.select("doc_id",
+    return (d.select(id_col,
                      F.row_number().over(w).alias("rk"),
                      F.count("*").over(wc).alias("n_copies"))
-            .where(F.col("rk") == 1).select("doc_id", "n_copies"))
+            .where(F.col("rk") == 1).select(id_col, "n_copies"))
 
 
 # DuckDB's generate_series table function rejects lateral column params,

@@ -158,9 +158,18 @@ def ivf_train_centroids(emb, dim: int = 64, k: int = IVF_K,
                         sample: int = IVF_SAMPLE, iters: int = IVF_ITERS,
                         seed: int = LSH_SEED) -> np.ndarray:
     """Seeded k-means on a bounded sample (collect is capped at `sample`
-    rows — this is quantizer TRAINING, not a data pass)."""
-    rows = (emb.select("embedding").limit(sample).toPandas()["embedding"]
-            .tolist())
+    rows — this is quantizer TRAINING, not a data pass).
+
+    The sample is the `sample` rows with smallest xxhash64(vec_id, seed):
+    a deterministic uniform draw that is independent of the on-disk row
+    order, unlike a bare ``limit()`` which takes the first partitions — on
+    a sorted/clustered corpus that trains the quantizer on one region of
+    the space and collapses cell balance (and is not even guaranteed
+    deterministic across partitionings). orderBy+limit compiles to
+    TakeOrdered (per-partition top-k, no global sort shuffle)."""
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            .limit(sample).toPandas()["embedding"].tolist())
     X = np.asarray([np.asarray(r, dtype=float) for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

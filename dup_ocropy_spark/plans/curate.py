@@ -55,12 +55,16 @@ def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
                        "n_turns_with_content")
     scored = quality_columns(docs).persist()
     quality = scored.where(F.col("is_quality"))
-    # exact dedup on an integer alias of conv_id keeps the operator core
-    # reusable (it orders survivors by doc_id); map back through a join
-    keyed = quality.withColumn("doc_id", F.xxhash64("conv_id"))
-    survivors = exact_keep_first(keyed.select("doc_id", "text"))
-    curated = (keyed.join(survivors.select("doc_id"), "doc_id")
+    # exact dedup keyed on conv_id directly — no surrogate hash, so a
+    # 64-bit collision between distinct conv_ids can never drop a
+    # non-duplicate conversation in the join-back
+    survivors = exact_keep_first(quality.select("conv_id", "text"), "conv_id")
+    curated = (quality.join(survivors.select("conv_id"), "conv_id")
                .select("conv_id", "text", "n_turns_with_content", "n_words"))
+    # near-dup accounting still uses an integer alias (pair output is
+    # doc_a < doc_b): a hash collision here only adds one candidate pair
+    # to a COUNT, it cannot drop data
+    keyed = quality.withColumn("doc_id", F.xxhash64("conv_id"))
     near_candidates = minhash_candidates(keyed.select("doc_id", "text"))
     stats = (scored.agg(
         F.count("*").alias("n_convs"),

@@ -65,9 +65,12 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     event time, not forever."""
     cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
             if c in stream.columns]
-    fp = F.md5(F.lower(F.trim(F.regexp_replace(
-        F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text")),
-        r"\s+", " "))))
+    # payload column: prefer a non-empty tool payload when the stream HAS a
+    # tool column; a text-only stream falls back to text (the tolerant cols
+    # filter above must not admit a schema the fingerprint then rejects)
+    payload = (F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text"))
+               if "tool" in stream.columns else F.col("text"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(payload, r"\s+", " "))))
     return (stream.select(*cols)
             .withColumn("fp", fp)
             .withWatermark("ts", watermark)
