@@ -125,7 +125,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "h4_reassembly", "g4_run_extents", "g11_propagate_labels",
         "a4_confusion_topk", "a6_moving_stats", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
-        "quality_score", "doc_fingerprint",
+        "quality_score", "extract_documents_classified",
     ]
     for name in bench_names:
         # min-of-3: shared-host contention showed an 8x outlier on a

@@ -50,7 +50,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stop_ratio, 6) AS stop_ratio,
            CASE WHEN n_words >= 10 AND avg_word_len BETWEEN 2 AND 12
                      AND stop_ratio >= 0.05
-                THEN 1 ELSE 0 END AS is_quality
+                THEN 1 ELSE 0 END AS is_quality,
+           fp
     FROM (
       SELECT doc_id,
              len(string_split_regex(trim(text), '\s+')) AS n_words,
@@ -59,12 +60,15 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((length(text) - length(replace(text, ' the ', ''))) / 5
                   + (length(text) - length(replace(text, ' a ', ''))) / 3
                   AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       FROM documents WHERE length(trim(text)) > 0
     )
     """,
     doc="quality scoring: length/word-shape/stopword-ratio gates "
-        "(the P1-P3 validation-gate family applied to corpus curation)",
+        "(the P1-P3 validation-gate family applied to corpus curation), "
+        "plus the normalize-then-md5 document fingerprint (fp) used for "
+        "lineage checksums — one frame, one scan",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
@@ -72,14 +76,15 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words)
     stop_hits = (_occurrences(F.col("text"), " the ") + _occurrences(F.col("text"), " a "))
     stop_ratio = stop_hits.cast("double") / n_words
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     base = d.select("doc_id", n_words.alias("n_words"), awl.alias("awl"),
-                    stop_ratio.alias("sr"))
+                    stop_ratio.alias("sr"), fp.alias("fp"))
     is_q = (F.when((F.col("n_words") >= 10) & F.col("awl").between(2, 12)
                    & (F.col("sr") >= 0.05), 1).otherwise(0))
     return base.select("doc_id", "n_words",
                        F.round("awl", 6).alias("avg_word_len"),
                        F.round("sr", 6).alias("stop_ratio"),
-                       is_q.alias("is_quality"))
+                       is_q.alias("is_quality"), "fp")
 
 
 @register(
@@ -113,17 +118,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.when(guessed == F.col("lang"), 1).otherwise(0).alias("correct"))
 
 
-@register(
-    "doc_fingerprint",
-    sql=r"""
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-    FROM documents
-    """,
-    doc="document fingerprint: md5 of the normalized byte stream "
-        "(normalize-then-hash, the content-checksum used in lineage too)",
-)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalized byte stream (normalize-
+    then-hash, the content-checksum used in lineage too). No longer a
+    standalone registry entry — the fp column is driver-checked inside
+    ``quality_score`` (the 50-entry driver window was full and this was
+    the lowest-information row; the slot went to
+    ``extract_documents_classified``)."""
     d = table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return d.select("doc_id", F.md5(norm).alias("fp"))

@@ -27,6 +27,27 @@ from dup_ocropy_spark.kernels.classify import (
 from dup_ocropy_spark.kernels.segment import segment_payload
 
 
+# Reference-trained logistic parameters over FEATURE_NAMES: the output of
+# ``train_classifier(synth_transcripts(spark, 400), seed=42)`` (rule-label
+# distillation, full-batch GD; accuracy 1.0 vs the rule oracle), frozen to
+# 12dp so the Spark config and the DuckDB oracle twin share the exact same
+# literals. tests/test_train_evaluate.py re-derives them from scratch and
+# asserts allclose — the constants can't drift from the training code.
+# This is the model-driven recognize stage artifact (the reference loads
+# trained weights in ocropus-rpred:119-131 before predictString).
+PRETRAINED_LOGISTIC_WEIGHTS: tuple[float, ...] = (
+    1.491762975367,    # log_len
+    -5.348827388577,   # link_density
+    -5.065819604402,   # boiler
+    3.028074972767,    # stopword_ratio
+    23.390836374898,   # punct_per_word
+    -43.33993684862,   # digit_ratio
+    -0.534655743728,   # mean_word_len
+    0.089444173464,    # is_heading
+)
+PRETRAINED_LOGISTIC_BIAS: float = -1.530117839801
+
+
 def _feature_names(context: bool) -> tuple[str, ...]:
     return CTX_FEATURE_NAMES if context else FEATURE_NAMES
 

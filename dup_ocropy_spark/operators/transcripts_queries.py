@@ -16,9 +16,16 @@ against the construction ground truth).
 
 from __future__ import annotations
 
+from dataclasses import replace as _cfg_replace
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dup_ocropy_spark.config import DEFAULT_CONFIG
+from dup_ocropy_spark.kernels.classify import STOPWORDS
 from dup_ocropy_spark.operators.registry import register, table
+from dup_ocropy_spark.operators.train import (
+    PRETRAINED_LOGISTIC_BIAS, PRETRAINED_LOGISTIC_WEIGHTS,
+)
 from dup_ocropy_spark.plans.extract import extract
 from dup_ocropy_spark.sources.transcripts import synth_transcripts
 
@@ -96,6 +103,101 @@ def extract_documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s.start").alias("span_start"),
                      F.col("s.end").alias("span_end"),
                      F.col("s.label").alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# Trained-classifier extraction: the model-driven recognize stage
+# (reference ocropus-rpred:119-131 loads trained weights before
+# ocrolib/lstm.py:879-884 predictString). The DuckDB twin replicates the
+# LOGISTIC MODEL ITSELF in SQL — features, the trained-weight dot product,
+# the sigmoid, and the threshold decision — from the exact same literal
+# weights the Spark config carries, so the driver hash-checks that the
+# extraction decision is weights-driven, not rule-driven.
+# ---------------------------------------------------------------------------
+
+_W = PRETRAINED_LOGISTIC_WEIGHTS
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+# Feature parity notes (kernels/classify.py block_features, plain
+# single-block corpus => link_density, boiler and is_heading are 0):
+#   t       = trim(unescape(payload))      -- block visible text, stripped
+#   nt      = length(t); nv = greatest(nt, 1)
+#   words   = lower(t) split on \s+  (nw = len or 1)
+#   nstop   = count of words in STOPWORDS
+#   npunct  = count of .,;:!? chars; ndigit = count of 0-9 chars
+#   sumw    = sum of word lengths = nt minus internal whitespace
+# z = w0*ln(1+nt) + w3*nstop/nw + w4*npunct/nw + w5*ndigit/nv + w6*sumw/nw + b
+_CLASSIFIED_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             {_GATE_SQL} AS reject_reason,
+             trim(replace(text, '&amp;', '&')) AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, reject_reason, t,
+             length(t) AS nt,
+             string_split_regex(lower(t), '\\s+') AS words,
+             length(t) - length(translate(t, '.,;:!?', '')) AS npunct,
+             length(t) - length(translate(t, '0123456789', '')) AS ndigit,
+             length(regexp_replace(t, '\\s', '', 'g')) AS sumw
+      FROM f
+    ), h AS (
+      SELECT *, greatest(len(words), 1) AS nw,
+             len(list_filter(words, w -> w IN ({_STOPLIST_SQL}))) AS nstop
+      FROM g
+    ), z AS (
+      SELECT doc_id, text, reject_reason, nt,
+             {_W[0]} * ln(1 + nt)
+             + {_W[3]} * (CAST(nstop AS DOUBLE) / nw)
+             + {_W[4]} * (CAST(npunct AS DOUBLE) / nw)
+             + {_W[5]} * (CAST(ndigit AS DOUBLE) / greatest(nt, 1))
+             + {_W[6]} * (CAST(sumw AS DOUBLE) / nw)
+             + {PRETRAINED_LOGISTIC_BIAS} AS zv
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           length(text) AS payload_len,
+           CASE WHEN reject_reason IS NOT NULL THEN 0 ELSE 1 END AS n_blocks,
+           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+                THEN 1 ELSE 0 END AS n_content,
+           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+                THEN round(1.0 / (1.0 + exp(-zv)), 6) ELSE -1.0 END
+             AS content_score,
+           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+                THEN trim(regexp_replace(
+                       replace(replace(replace(replace(text, '&amp;', '&'),
+                                               chr(181), chr(956)),
+                                       '"', ''''''), '`', ''''),
+                       '\\s+', ' ', 'g'))
+                ELSE '' END AS extracted_text,
+           reject_reason
+    FROM z
+"""
+
+CLASSIFIED_CONFIG = _cfg_replace(
+    DEFAULT_CONFIG, classifier="logistic",
+    weights=tuple(PRETRAINED_LOGISTIC_WEIGHTS), bias=PRETRAINED_LOGISTIC_BIAS)
+
+
+@register(
+    "extract_documents_classified",
+    sql=_CLASSIFIED_SQL,
+    doc="extraction with the TRAINED logistic classifier (non-default "
+        "weights from operators/train.py distillation): the oracle "
+        "recomputes features, the weight dot product, the sigmoid and the "
+        "threshold decision in SQL from the same literals, and the span "
+        "score column is hash-compared — model-driven extraction, "
+        "driver-checked",
+)
+def extract_documents_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _documents_as_transcripts(spark, sf_dir)
+    out = extract(tr, CLASSIFIED_CONFIG)
+    score = F.coalesce(F.get("spans", 0)["score"], F.lit(-1.0))
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "payload_len", "n_blocks", "n_content",
+        score.alias("content_score"),
+        "extracted_text", "reject_reason")
 
 
 _HTML_PREFIX = '<nav><a href="/">Nav home link row</a></nav><h1>'

@@ -34,6 +34,38 @@ def test_trained_logistic_distills_rule_labels(spark, train_convs):
     assert n_match / n >= 0.97, f"{n_match}/{n} turns match rule pipeline"
 
 
+def test_pretrained_constants_rederive(spark):
+    """The frozen PRETRAINED_LOGISTIC_* literals (shared by the Spark config
+    and the DuckDB twin of extract_documents_classified) must be exactly
+    what the training code produces — re-derive from scratch with the
+    documented recipe and compare to 12dp."""
+    import numpy as np
+
+    from dup_ocropy_spark.operators.train import (
+        PRETRAINED_LOGISTIC_BIAS, PRETRAINED_LOGISTIC_WEIGHTS,
+    )
+
+    w, b, acc = train_classifier(synth_transcripts(spark, 400), seed=42)
+    assert acc == 1.0
+    np.testing.assert_allclose(w, np.array(PRETRAINED_LOGISTIC_WEIGHTS),
+                               rtol=0, atol=5e-13)
+    assert abs(b - PRETRAINED_LOGISTIC_BIAS) < 5e-13
+
+
+def test_classified_margin_guard(spark):
+    """Every content decision of the trained classifier on the driver corpus
+    must clear the z=0 boundary by a wide margin — engine-vs-oracle float
+    summation order can never flip a decision."""
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    df = REGISTRY["extract_documents_classified"].spark(spark, "/root/testdata/sf0.001")
+    scored = df.where(F.col("content_score") >= 0)
+    # sigmoid(1.8) ~ 0.858: min margin measured 2.04 at sf0.001
+    n_near = scored.where((F.col("content_score") > 0.42)
+                          & (F.col("content_score") < 0.58)).count()
+    assert n_near == 0, f"{n_near} docs within the decision-flip band"
+
+
 def test_eval_zero_cer_against_ground_truth(spark, train_convs):
     pred = extract(train_convs)
     gt = synth_expected(spark, 40)
