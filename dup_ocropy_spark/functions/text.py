@@ -39,6 +39,25 @@ def normalize_text_col(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def sql_quote(s: str) -> str:
+    """ANSI string literal (for generated DuckDB oracle SQL)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB equivalent of ``normalize_text_col`` over a SQL expression,
+    generated from the SAME literal table — the oracle twins of every
+    extraction query share the full homograph chain with the engine by
+    construction (an oracle hand-listing a subset of the table stays green
+    on driver corpora that lack the other chars and breaks on real data).
+    Replacement order is irrelevant: no replacement output re-matches a
+    later pattern (asserted against the kernel in tests)."""
+    e = f"regexp_replace({expr}, '[_~#]', '~', 'g')"
+    for a, b in _LITERAL:
+        e = f"replace({e}, {sql_quote(a)}, {sql_quote(b)})"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
 _PROJECTIONS = {
     "nospace": r"\s",
     "spletdig": "[^A-Za-z0-9 ]",

@@ -139,31 +139,46 @@ def g6_top_separator_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") <= 3).drop("rk"))
 
 
+# Probe appended to every doc before normalization so the driver twin
+# exercises EVERY homograph pair of the kernel table (ligatures, dashes,
+# curly quotes, primes, ellipsis, micro sign, control chars) plus exotic
+# whitespace for the collapse — the corpus alone only contains a few.
+_T1_PROBE = ' \tﬂy–x—“q”‘s’„a‟b‚c‛d µ…′″‴〃´`"_#~ ﬁtﬀsﬃxﬄy\nend'
+
+
+def _t1_norm_sql() -> str:
+    """DuckDB replace-chain over the probe-augmented text, generated from
+    the SAME literal table the Spark chain uses (functions/text.py,
+    whose parity with kernels/textnorm.REPLACEMENTS is pinned by
+    tests/test_functions.py) — single source of truth, no drift."""
+    from dup_ocropy_spark.functions.text import normalize_sql, sql_quote
+
+    return normalize_sql(f"text || {sql_quote(_T1_PROBE)}")
+
+
 @register(
     "t1_textnorm_family",
-    sql=r"""
+    sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(
-             replace(replace(replace(text, '"', ''''''), '`', ''''), chr(181), chr(956)),
-             '\s+', ' ', 'g')) AS norm,
+           {_t1_norm_sql()} AS norm,
            md5(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS proj,
            replace(text, '''''', '"') AS requoted,
            md5(replace(replace(text, '&', '&amp;'), '<', '&lt;')) AS escaped_md5
     FROM documents
     """,
     doc="text-scalar family, all JVM regexp/replace chains, no Python: "
-        "T1 normalize_text (ocrolib/common.py:46-58, chars.py:37-59 -> norm), "
+        "T1 normalize_text over the FULL homograph table of "
+        "ocrolib/chars.py:37-59 (every pair exercised via an appended "
+        "probe string; ocrolib/common.py:46-58 -> norm), "
         "T2 project_text(letdig) (common.py:60-81 -> proj, md5 keeps the "
         "compare payload small), T3 requote (chars.py:61-64 -> requoted), "
         "H5 hOCR entity escaping (ocropus-hocr:125-126 -> escaped_md5)",
 )
 def t1_textnorm_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dup_ocropy_spark.functions.text import normalize_text_col
+
     d = table(spark, sf_dir, "documents")
-    s = F.col("text")
-    s = F.replace(s, F.lit('"'), F.lit("''"))
-    s = F.replace(s, F.lit("`"), F.lit("'"))
-    s = F.replace(s, F.lit("µ"), F.lit("μ"))
-    norm = F.trim(F.regexp_replace(s, r"\s+", " "))
+    norm = normalize_text_col(F.concat(F.col("text"), F.lit(_T1_PROBE)))
     proj = F.md5(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
     requoted = F.replace(F.col("text"), F.lit("''"), F.lit('"'))
     esc = F.md5(F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),

@@ -21,6 +21,7 @@ from dataclasses import replace as _cfg_replace
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG
+from dup_ocropy_spark.functions.text import normalize_sql
 from dup_ocropy_spark.kernels.classify import STOPWORDS
 from dup_ocropy_spark.operators.registry import register, table
 from dup_ocropy_spark.operators.train import (
@@ -50,6 +51,15 @@ _GATE_SQL = """
 """
 
 
+def _norm_sql(expr: str) -> str:
+    """Kernel-order normalization of an extracted block in DuckDB: entity
+    decode (the corpus' only entity is &amp;) then the FULL homograph
+    chain + whitespace collapse, generated from the engine's own table —
+    not a hand-listed subset (tests/test_parity_special_chars.py runs
+    these oracles on a ligature/dash/curly-quote corpus)."""
+    return normalize_sql(f"replace({expr}, '&amp;', '&')")
+
+
 @register(
     "extract_documents",
     sql=f"""
@@ -59,11 +69,7 @@ _GATE_SQL = """
            CASE WHEN {_GATE_SQL} IS NOT NULL
                      OR length(trim(text)) < 8 THEN 0 ELSE 1 END AS n_content,
            CASE WHEN {_GATE_SQL} IS NOT NULL OR length(trim(text)) < 8 THEN ''
-                ELSE trim(regexp_replace(
-                       replace(replace(replace(replace(text, '&amp;', '&'),
-                                               chr(181), chr(956)),
-                                       '"', ''''''), '`', ''''),
-                       '\\s+', ' ', 'g')) END AS extracted_text,
+                ELSE {_norm_sql('text')} END AS extracted_text,
            {_GATE_SQL} AS reject_reason
     FROM documents
     """,
@@ -164,11 +170,7 @@ _CLASSIFIED_SQL = f"""
                 THEN round(1.0 / (1.0 + exp(-zv)), 6) ELSE -1.0 END
              AS content_score,
            CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
-                THEN trim(regexp_replace(
-                       replace(replace(replace(replace(text, '&amp;', '&'),
-                                               chr(181), chr(956)),
-                                       '"', ''''''), '`', ''''),
-                       '\\s+', ' ', 'g'))
+                THEN {_norm_sql('text')}
                 ELSE '' END AS extracted_text,
            reject_reason
     FROM z
@@ -210,18 +212,9 @@ _HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
     "extract_documents_html",
     sql=f"""
     SELECT doc_id,
-           trim(regexp_replace(
-                  replace(replace(replace(replace(substr(text, 1, 30),
-                                                  '&amp;', '&'),
-                                          chr(181), chr(956)),
-                                  '"', ''''''), '`', ''''),
-                  '\\s+', ' ', 'g'))
+           {_norm_sql('substr(text, 1, 30)')}
              || chr(10) ||
-           trim(regexp_replace(
-                  replace(replace(replace(replace(text, '&amp;', '&'),
-                                          chr(181), chr(956)),
-                                  '"', ''''''), '`', ''''),
-                  '\\s+', ' ', 'g')) AS extracted_text,
+           {_norm_sql('text')} AS extracted_text,
            2 AS n_content,
            4 AS n_blocks
     FROM documents

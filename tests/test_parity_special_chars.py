@@ -19,7 +19,8 @@ from dup_ocropy_spark.operators.registry import REGISTRY
 
 _ops.load_all()
 
-QUERIES = ("extract_documents", "extract_documents_html", "t1_textnorm_family")
+QUERIES = ("extract_documents", "extract_documents_html", "t1_textnorm_family",
+           "extract_documents_classified")
 
 
 @pytest.fixture(scope="module")
@@ -30,6 +31,8 @@ def special_dir(tmp_path_factory):
         'Mixed "double" and `single` quotes &amp; an entity in one doc.',
         "Plain control text with no special characters at all in it today.",
         'Trailing quote at the very end of this document right here: "',
+        "The ﬂat ﬁle has ligatures — an em dash – an en dash and “curly quotes”.",
+        "Ellipsis… prime 5′ double ″ and ‘single curls’ all in one line here.",
     ]
     pdf = pd.DataFrame({
         "doc_id": range(len(texts)),
@@ -59,3 +62,31 @@ def test_oracle_parity_with_special_chars(spark, special_dir, name):
         assert _dtype_family(a[c]) == _dtype_family(b[c]), (name, c)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-8, obj=name)
+
+
+def test_t1_probe_covers_full_homograph_table():
+    """Every char the kernel homograph table touches must appear in the
+    probe the t1 driver twin appends — adding a pair to REPLACEMENTS
+    without widening the probe fails here, so the driver check can never
+    silently narrow back to a subset."""
+    from dup_ocropy_spark.kernels.textnorm import _HOMOGRAPH_TABLE
+    from dup_ocropy_spark.operators.relational2 import _T1_PROBE
+
+    missing = [chr(cp) for cp in _HOMOGRAPH_TABLE if chr(cp) not in _T1_PROBE]
+    assert not missing, f"probe misses homograph chars: {missing}"
+
+
+def test_t1_probe_norm_matches_kernel(spark):
+    """The JVM chain over the probe-augmented text must equal the kernel's
+    normalize_text — ties the driver twin to the authoritative kernel."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.functions.text import normalize_text_col
+    from dup_ocropy_spark.kernels.textnorm import normalize_text
+    from dup_ocropy_spark.operators.relational2 import _T1_PROBE
+
+    base = 'some  text with "quotes" and 5µm'
+    df = spark.createDataFrame([(base,)], "text string")
+    got = df.select(normalize_text_col(
+        F.concat(F.col("text"), F.lit(_T1_PROBE))).alias("n")).collect()[0]["n"]
+    assert got == normalize_text(base + _T1_PROBE)
