@@ -56,13 +56,34 @@ def topological_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
                      f"iterations (cycle, or raise max_iters)")
 
 
-def topsort(edges: DataFrame) -> DataFrame:
+def topsort(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """(node, level, rank): deterministic linear extension of the DAG —
     rank orders by (level, node), so every edge points to a higher rank
-    (reference topsort contract)."""
+    (reference topsort contract).
+
+    Scale-safe total rank: a bare ``row_number() OVER (ORDER BY ...)``
+    would pull every node through one task. Instead the nodes are
+    range-partitioned on the sort key (partition i holds strictly smaller
+    keys than partition i+1), ranked locally per partition in parallel,
+    and shifted by per-partition offsets from a tiny one-row-per-partition
+    cumulative sum — the distributed order-preserving rank pattern. The
+    result is independent of the sampled range boundaries because local
+    rank + offset reproduces the global (level, node) order exactly.
+    """
     from pyspark.sql import Window as W
 
     levels = topological_levels(edges)
-    w = W.orderBy("level", "node")
-    return levels.select("node", "level",
-                         F.row_number().over(w).alias("rank"))
+    n = num_partitions or levels.sparkSession.sparkContext.defaultParallelism
+    ranged = (levels.repartitionByRange(n, "level", "node")
+              .withColumn("_pid", F.spark_partition_id()))
+    local = ranged.withColumn(
+        "_lr", F.row_number().over(W.partitionBy("_pid").orderBy("level", "node")))
+    # one row per partition: the only single-partition window runs over
+    # <= num_partitions rows, never over the nodes
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = sizes.select(
+        "_pid",
+        (F.sum("_n").over(W.orderBy("_pid")) - F.col("_n")).alias("_off"))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .select("node", "level",
+                    (F.col("_lr") + F.col("_off")).cast("int").alias("rank")))

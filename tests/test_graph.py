@@ -40,3 +40,39 @@ def test_cycle_raises(spark):
     e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
     with pytest.raises(ValueError, match="converge"):
         topological_levels(e, max_iters=10)
+
+
+def test_topsort_rank_matches_global_sort_and_partition_count(spark):
+    """rank must equal the global (level, node) sort position for ANY
+    partition count (local rank + offsets reproduce the total order), and
+    must stay deterministic across partitionings."""
+    rng = np.random.default_rng(17)
+    pairs = {(int(a), int(b)) for a, b in
+             rng.integers(0, 60, size=(200, 2)) if a < b}
+    e = _edges(spark, sorted(pairs))
+    want = None
+    for n_parts in (1, 3, 8):
+        rows = topsort(e, num_partitions=n_parts).collect()
+        got = {r.node: r.rank for r in rows}
+        by_key = sorted(rows, key=lambda r: (r.level, r.node))
+        assert [r.rank for r in by_key] == list(range(1, len(rows) + 1))
+        if want is None:
+            want = got
+        else:
+            assert got == want, f"rank changed with num_partitions={n_parts}"
+
+
+def test_topsort_rank_plan_has_no_single_partition_node_exchange(spark):
+    """The node-rank path must not funnel the node table through one task:
+    the only SinglePartition exchange allowed in the plan is the tiny
+    per-partition-size cumulative sum (input = one row per partition)."""
+    e = _edges(spark, [(0, 1), (1, 2), (0, 3)])
+    plan = topsort(e, num_partitions=4)._jdf.queryExecution().executedPlan().toString()
+    # the node-side window must be hash-partitioned on _pid, and the range
+    # repartition must be present upstream of it
+    assert "rangepartitioning" in plan.lower()
+    single = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
+    # the offsets window over sizes is the one permitted single-partition
+    # exchange; the node window itself partitions by _pid
+    assert len(single) <= 1, plan
+    assert any("_pid" in ln and "Window" in ln for ln in plan.splitlines()), plan
