@@ -128,15 +128,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+def jaccard_filtered_shingles(docs: DataFrame) -> DataFrame:
+    """Phase-1 artifact: (doc_id, sh) after the stop-shingle cap. The
+    two-phase job materializes THIS as a parquet table; the in-memory path
+    persists it instead."""
+    sh = shingles_of(docs).persist()
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
+    return (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
+            .select("doc_id", "sh"))
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     # the shingle set feeds three consumers (docfreq filter, per-doc counts,
     # the self-join's two sides) — persist so the explode runs once, not 3x
-    # (measured ~1.7x at sf0.1; the production pattern at 100 TB is the same
-    # idea two-phase: materialize shingles/signatures as a table first)
-    sh = shingles_of(docs).persist()
-    df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
-    sh2 = (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
-           .select("doc_id", "sh")).persist()
+    # (measured ~1.7x at sf0.1; jobs/dedup_job.py --two-phase materializes
+    # the filtered-shingle table as parquet instead, the 100 TB pattern)
+    sh2 = jaccard_filtered_shingles(docs).persist()
+    return jaccard_pairs_from(sh2, threshold)
+
+
+def jaccard_pairs_from(sh2: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Phase 2: exact Jaccard pairs from a (doc_id, sh) filtered-shingle
+    table (persisted frame or re-read parquet)."""
     counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh2.alias("a")
     b = sh2.alias("b")
@@ -208,9 +221,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_candidates(docs: DataFrame) -> DataFrame:
     sh = shingles_of(docs)
     # both sides of the bucket self-join read the signatures: persist so the
-    # shingle explode + 32-hash agg run once (3x at sf0.1; two-phase
-    # signature table in production)
+    # shingle explode + 32-hash agg run once (3x at sf0.1;
+    # jobs/dedup_job.py --two-phase materializes the signature table)
     sig = minhash_signatures(sh).persist()
+    return minhash_pairs_from(sig)
+
+
+def minhash_pairs_from(sig: DataFrame) -> DataFrame:
+    """Phase 2: candidate pairs from a (doc_id, band, band_key) signature
+    table (persisted frame or re-read parquet)."""
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -280,11 +299,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(table(spark, sf_dir, "documents"))
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Phase-1 artifact: (doc_id, simhash) — the 64-bit fingerprints."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_batch, schema="doc_id long, simhash long")
+
+
 def simhash_pairs(docs: DataFrame) -> DataFrame:
-    d = docs.select("doc_id", "text")
     # persist: the self-join would otherwise run the Python signature UDF
-    # twice (measured 2x wall at sf0.1; production = signature table first)
-    sig = d.mapInPandas(_simhash_batch, schema="doc_id long, simhash long").persist()
+    # twice (measured 2x wall at sf0.1; jobs/dedup_job.py --two-phase
+    # materializes the signature table as parquet instead)
+    return simhash_pairs_from(simhash_signatures(docs).persist())
+
+
+def simhash_pairs_from(sig: DataFrame) -> DataFrame:
+    """Phase 2: hamming<=6 pairs from a (doc_id, simhash) signature table
+    (persisted frame or re-read parquet)."""
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright(F.col("simhash"), off)

@@ -13,6 +13,16 @@ Methods:
            recall vs jaccard gated in tests)
   simhash  SimHash pairs at hamming <= 6 (7-block banding, lossless)
 
+--two-phase (jaccard/minhash/simhash): materialize the signature /
+filtered-shingle table as parquet under <output>_signatures first, then
+run the pair join from the re-read table. This is the production shape at
+100 TB — the signature pass is one linear scan whose output is tiny
+relative to the corpus, the join phase never re-reads raw text, executor
+memory holds no persisted corpus-sized blocks, and the signature table is
+reusable across incremental runs (only new docs need signing). The
+in-memory mode persists the same intermediate instead (fine while it fits
+the cluster's storage memory).
+
 Writes the result as parquet under --output and prints one JSON line.
 """
 
@@ -39,12 +49,19 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--threshold", type=float, default=0.2,
                     help="jaccard cutoff (jaccard method only)")
+    ap.add_argument("--two-phase", action="store_true",
+                    help="materialize the signature table as parquet and "
+                         "join from it (the 100TB pattern) instead of "
+                         "persisting it in executor memory")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
     from dup_ocropy_spark.operators.dedup import (
-        exact_keep_first, jaccard_pairs, minhash_candidates, simhash_pairs,
+        exact_keep_first, jaccard_filtered_shingles, jaccard_pairs,
+        jaccard_pairs_from, minhash_candidates, minhash_pairs_from,
+        minhash_signatures, shingles_of, simhash_pairs, simhash_pairs_from,
+        simhash_signatures,
     )
     from dup_ocropy_spark.session import get_spark
 
@@ -54,8 +71,26 @@ def main(argv: list[str]) -> int:
                     F.col(args.text_col).alias("text")))
 
     t0 = time.time()
+    sig_path = args.output.rstrip("/") + "_signatures"
     if args.method == "exact":
         out = exact_keep_first(docs)
+    elif args.two_phase and args.method != "exact":
+        # phase 1: one linear scan over the corpus -> signature table
+        builders = {
+            "jaccard": lambda: jaccard_filtered_shingles(docs),
+            "minhash": lambda: minhash_signatures(shingles_of(docs)),
+            "simhash": lambda: simhash_signatures(docs),
+        }
+        builders[args.method]().write.mode("overwrite").parquet(sig_path)
+        # phase 2: pair joins read ONLY the materialized signatures
+        sig = spark.read.parquet(sig_path)
+        spark.catalog.clearCache()  # phase-1 shingle persist is done with
+        if args.method == "jaccard":
+            out = jaccard_pairs_from(sig, args.threshold)
+        elif args.method == "minhash":
+            out = minhash_pairs_from(sig)
+        else:
+            out = simhash_pairs_from(sig)
     elif args.method == "jaccard":
         out = jaccard_pairs(docs, args.threshold)
     elif args.method == "minhash":
@@ -65,6 +100,7 @@ def main(argv: list[str]) -> int:
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"method": args.method, "rows": n,
+                      "two_phase": bool(args.two_phase),
                       "wall_sec": round(time.time() - t0, 1)}))
     return 0
 

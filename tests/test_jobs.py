@@ -81,6 +81,43 @@ def test_dedup_job_methods(spark, tmp_path, capsys):
         assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs), method
 
 
+def test_dedup_job_two_phase_matches_in_memory(spark, tmp_path, capsys):
+    """--two-phase (materialized signature table -> join from parquet) must
+    produce the exact same pair set as the in-memory persist path, and must
+    actually write the signature table."""
+    import os
+
+    import pandas as pd
+
+    rng_words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima").split()
+    texts = []
+    for i in range(12):
+        words = [rng_words[(i * 7 + j) % len(rng_words)] for j in range(40)]
+        texts.append(" ".join(words))
+    texts.append(texts[0])                      # exact dup
+    texts.append(texts[1][:150] + " mutated tail words here")  # near dup
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+
+    for method in ("jaccard", "minhash", "simhash"):
+        mem_out = str(tmp_path / f"{method}_mem")
+        tp_out = str(tmp_path / f"{method}_tp")
+        _run(dedup_job, ["--input", src, "--output", mem_out,
+                         "--method", method], capsys)
+        rep = _run(dedup_job, ["--input", src, "--output", tp_out,
+                               "--method", method, "--two-phase"], capsys)
+        assert rep["two_phase"] is True
+        assert os.path.exists(tp_out + "_signatures"), method
+        mem = {(r.doc_a, r.doc_b)
+               for r in spark.read.parquet(mem_out).select("doc_a", "doc_b").collect()}
+        tp = {(r.doc_a, r.doc_b)
+              for r in spark.read.parquet(tp_out).select("doc_a", "doc_b").collect()}
+        assert mem == tp, f"{method}: two-phase pairs differ from in-memory"
+        assert mem, f"{method}: fixture produced no pairs"
+
+
 def test_similarity_job_methods(spark, tmp_path, capsys):
     import numpy as np
     import pyarrow as pa
