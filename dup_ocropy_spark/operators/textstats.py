@@ -19,6 +19,20 @@ def _occurrences(col, needle: str):
             / len(needle)).cast("bigint")
 
 
+def _word_count(col, word: str):
+    """Case-folded whole-word occurrence count: ``\\bword\\b`` over the
+    lowercased text. Unlike the ``' the '`` length-arithmetic trick this
+    catches sentence-initial 'The', capitalization, and punctuation-
+    adjacent hits — the naive form systematically under-counted as a
+    curation gate. Java regex and RE2 share the ASCII \\b definition, so
+    the DuckDB twin uses the same pattern."""
+    return F.regexp_count(F.lower(col), F.lit(rf"\b{word}\b")).cast("bigint")
+
+
+def _word_count_sql(expr: str, word: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '\\b{word}\\b'))"
+
+
 @register(
     "token_counts",
     sql=r"""
@@ -45,7 +59,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_score",
-    sql=r"""
+    sql=rf"""
     SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
            round(stop_ratio, 6) AS stop_ratio,
            CASE WHEN n_words >= 10 AND avg_word_len BETWEEN 2 AND 12
@@ -57,16 +71,16 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split_regex(trim(text), '\s+')) AS n_words,
              CAST(length(replace(text, ' ', '')) AS DOUBLE)
                / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
-             CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-                  + (length(text) - length(replace(text, ' a ', ''))) / 3
-                  AS DOUBLE)
+             CAST({_word_count_sql('text', 'the')}
+                  + {_word_count_sql('text', 'a')} AS DOUBLE)
                / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       FROM documents WHERE length(trim(text)) > 0
     )
     """,
     doc="quality scoring: length/word-shape/stopword-ratio gates "
-        "(the P1-P3 validation-gate family applied to corpus curation), "
+        "(the P1-P3 validation-gate family applied to corpus curation; "
+        "stop-word hits are case-folded whole-word regexp counts), "
         "plus the normalize-then-md5 document fingerprint (fp) used for "
         "lineage checksums — one frame, one scan",
 )
@@ -74,7 +88,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
     awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words)
-    stop_hits = (_occurrences(F.col("text"), " the ") + _occurrences(F.col("text"), " a "))
+    stop_hits = (_word_count(F.col("text"), "the") + _word_count(F.col("text"), "a"))
     stop_ratio = stop_hits.cast("double") / n_words
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     base = d.select("doc_id", n_words.alias("n_words"), awl.alias("awl"),

@@ -25,15 +25,16 @@ from dup_ocropy_spark.plans.extract import conversation_text, extract
 def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_words / avg_word_len / stop_ratio / is_quality (the same
     arithmetic as the oracle-checked quality_score query)."""
+    from dup_ocropy_spark.operators.textstats import _word_count
+
     t = F.col(text_col)
     n_words = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
     awl = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_words
-
-    def occurrences(needle: str):
-        return ((F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
-                / len(needle)).cast("bigint")
-
-    stop_ratio = (occurrences(" the ") + occurrences(" a ")).cast("double") / n_words
+    # case-folded whole-word counts: the ' the ' length-arithmetic form
+    # missed sentence-initial 'The' and punctuation-adjacent hits and
+    # systematically under-counted as a curation gate
+    stop_ratio = ((_word_count(t, "the") + _word_count(t, "a"))
+                  .cast("double") / n_words)
     d = (docs.where(F.length(F.trim(t)) > 0)
          .withColumn("n_words", n_words)
          .withColumn("avg_word_len", F.round(awl, 6))

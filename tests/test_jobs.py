@@ -81,6 +81,22 @@ def test_dedup_job_methods(spark, tmp_path, capsys):
         assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs), method
 
 
+def test_quality_gate_counts_sentence_initial_stopwords(spark):
+    """The curation stop-word gate must be case-folded and word-bounded:
+    'The' at sentence starts and punctuation-adjacent hits count. The old
+    ' the ' length-arithmetic form saw only 2 of the 5 hits here."""
+    from dup_ocropy_spark.plans.curate import quality_columns
+
+    text = "The quick fox. The lazy dog! A bird, a plane and the end of it now."
+    docs = spark.createDataFrame([("d1", text)], "conv_id string, text string")
+    r = quality_columns(docs).collect()[0]
+    n_words = len(text.split())                      # 16
+    assert r.n_words == n_words
+    # the(x3: 2 sentence-initial 'The' + 1 lowercase) + a(x2: 'A', 'a');
+    # 'plane'/'and' must NOT match inside words
+    assert r.stop_ratio == round(5 / n_words, 6), r.stop_ratio
+
+
 def test_dedup_job_two_phase_matches_in_memory(spark, tmp_path, capsys):
     """--two-phase (materialized signature table -> join from parquet) must
     produce the exact same pair set as the in-memory persist path, and must
