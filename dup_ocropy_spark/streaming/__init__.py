@@ -1,8 +1,9 @@
 """Structured Streaming variant of the extraction pipeline."""
 
 from dup_ocropy_spark.streaming.extract_stream import (
-    deduped_stream, extracted_stream, start_extract_stream, windowed_throughput,
+    deduped_stream, extracted_stream, near_deduped_stream,
+    start_extract_stream, windowed_throughput,
 )
 
-__all__ = ["deduped_stream", "extracted_stream", "start_extract_stream",
-           "windowed_throughput"]
+__all__ = ["deduped_stream", "extracted_stream", "near_deduped_stream",
+           "start_extract_stream", "windowed_throughput"]

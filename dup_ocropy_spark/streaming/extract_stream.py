@@ -77,6 +77,64 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
+# streaming LSH banding: 4 bands x 2 rows over the same char shingles as
+# the batch operators (dedup.py SHINGLE_LEN/STRIDE), so batch and stream
+# agree on what "near" means. Candidate probability at jaccard s is
+# 1-(1-s^2)^4: ~0.98 at s=0.8, ~0.68 at s=0.5 — tuned for the
+# high-similarity near-dups a streaming ingest gate should stop; the batch
+# 16x2 sweep remains the high-recall offline pass.
+STREAM_BANDS = 4
+STREAM_ROWS_PER_BAND = 2
+
+
+def _stream_band_keys(payload):
+    """Per-row minhash band keys as pure JVM array expressions — no
+    aggregation, so they are computable inside a streaming select:
+    shingle positions -> substrings -> per-seed xxhash64 min -> band key."""
+    from dup_ocropy_spark.operators.dedup import SHINGLE_LEN, SHINGLE_STRIDE
+
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(payload) - F.lit(SHINGLE_LEN - 1), F.lit(1)),
+        F.lit(SHINGLE_STRIDE))
+    shingles = F.transform(positions,
+                           lambda p: F.substring(payload, p, F.lit(SHINGLE_LEN)))
+    mins = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
+            for k in range(STREAM_BANDS * STREAM_ROWS_PER_BAND)]
+    return [F.xxhash64(*[mins[b * STREAM_ROWS_PER_BAND + r]
+                         for r in range(STREAM_ROWS_PER_BAND)])
+            for b in range(STREAM_BANDS)]
+
+
+def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-dup dedup: LSH band keys computed per row (JVM array
+    expressions over char shingles), then one ``dropDuplicatesWithinWatermark``
+    per band, chained — a row is dropped if ANY of its band keys was seen
+    inside the watermark (the OR-over-bands LSH candidate semantics;
+    multiple stateful operators per query is supported for append-mode
+    dedup since Spark 3.5). Subsumes exact dedup: identical payloads share
+    every band key.
+
+    Scale/semantics notes: each stage holds one band-keyed state store,
+    GC'd past the watermark — state is bands x |distinct keys in window|,
+    bounded like the exact path. Like every survivor-based LSH pass this
+    is not transitive: if B (a near-dup of A) is dropped, B's band keys
+    never enter later state, so a C that only resembles B may survive —
+    the batch sweep remains the authority for retroactive cluster closure.
+    """
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            if c in stream.columns]
+    payload = (F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text"))
+               if "tool" in stream.columns else F.col("text"))
+    norm = F.lower(F.trim(F.regexp_replace(payload, r"\s+", " ")))
+    keys = _stream_band_keys(norm)
+    out = stream.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])
+    out = out.withWatermark("ts", watermark)
+    for b in range(STREAM_BANDS):
+        out = out.dropDuplicatesWithinWatermark([f"band{b}"])
+    return out.drop(*[f"band{b}" for b in range(STREAM_BANDS)])
+
+
 def start_extract_stream(spark: SparkSession, input_path: str, output_path: str,
                          checkpoint_path: str,
                          config: ExtractConfig = DEFAULT_CONFIG):

@@ -108,6 +108,64 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(got) == sorted(texts)  # each distinct payload exactly once
 
 
+def test_streaming_near_dedup_catches_mutated_payloads(spark, tmp_path):
+    """Planted NEAR-dups (high shingle overlap, not byte-identical) arriving
+    in later micro-batches are dropped within the watermark; distinct
+    payloads survive. Exact dups are subsumed (identical band keys)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import near_deduped_stream
+
+    import numpy as np
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    # mutually DISSIMILAR base docs (independent seeded word draws — shared
+    # shingles between bases would make them near-dups of each other)
+    bases = [" ".join(np.random.default_rng(100 + i).choice(vocab, size=60))
+             for i in range(4)]
+    near0 = bases[0] + " tiny mutated tail"        # near-dup of doc 0
+    near1 = bases[1][:-10] + " other end"          # near-dup of doc 1
+    fresh = " ".join(np.random.default_rng(999).choice(vocab, size=60))
+
+    def rows(texts, ids, minute):
+        return pd.DataFrame({
+            "conv_id": [f"c{i}" for i in ids],
+            "turn_idx": pd.array(ids, dtype="int32"),
+            "role": "user",
+            "text": texts,
+            "tool": "",
+            "ts": [base + dt.timedelta(minutes=minute)] * len(ids),
+        })
+
+    src = tmp_path / "neardedup_in"
+    src.mkdir()
+    spark.createDataFrame(rows(bases, [0, 1, 2, 3], 0)).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(rows([near0, near1, bases[2], fresh],
+                               [4, 5, 6, 7], 5)).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(
+                  "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = (near_deduped_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("near_dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = set(spark.sql("SELECT conv_id FROM near_dedup_out")
+              .toPandas()["conv_id"])
+    # near-dups c4/c5 and the exact dup c6 dropped; 4 originals + fresh kept
+    assert got == {"c0", "c1", "c2", "c3", "c7"}, got
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 48)
     feats = extract_media_features(media, decoder="fake")
