@@ -166,6 +166,40 @@ def test_streaming_near_dedup_catches_mutated_payloads(spark, tmp_path):
     assert got == {"c0", "c1", "c2", "c3", "c7"}, got
 
 
+def test_wav_real_decoder(spark):
+    """The stdlib wave codec is a REAL decode path: PCM sine fixtures yield
+    per-segment RMS envelopes that vary across docs, are deterministic
+    across runs, and garbage bytes fail gracefully."""
+    import numpy as np
+    import pandas as pd
+
+    from dup_ocropy_spark.operators.multimodal import (
+        FEATURE_DIM, extract_media_features, synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, 12)
+    pdf = extract_media_features(media, decoder="wav").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert pdf["decode_ok"].all(), pdf["decode_error"].dropna().tolist()
+    assert (pdf["magic"] == "riff-wav").all()
+    feats = np.array(pdf["feature"].tolist())
+    assert feats.shape == (12, FEATURE_DIM)
+    # the amplitude ramp makes the envelope rise within each clip
+    assert (feats[:, -1] > feats[:, 0]).all()
+    # different docs -> different envelopes; re-run is byte-identical
+    assert len({tuple(f) for f in map(tuple, feats)}) == 12
+    pdf2 = extract_media_features(media, decoder="wav").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf, pdf2)
+    # garbage payload: decode_ok False, zero feature, no exception
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"RIFFgarbage-not-a-wav"), (0, 0, 8000, "x"))],
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,codec:string>")
+    brow = extract_media_features(bad, decoder="wav").collect()[0]
+    assert not brow.decode_ok and "WAV" in brow.decode_error
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 48)
     feats = extract_media_features(media, decoder="fake")
