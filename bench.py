@@ -68,6 +68,22 @@ def timed_noop(df) -> float:
     return time.time() - t0
 
 
+# fat-payload tier: ~0.9 MB payloads (the P1 page-size envelope analog);
+# fixed size — the tier measures the MB-row regime, not corpus scale
+FAT_CONVS = 384
+FAT_PAYLOAD_BYTES = 900_000
+
+
+def ensure_fat_transcripts(spark) -> str:
+    path = os.path.join(CACHE_ROOT, f"fat_transcripts_n{FAT_CONVS}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from dup_ocropy_spark.sources.transcripts import synth_fat_transcripts
+
+        synth_fat_transcripts(spark, FAT_CONVS, n_paras=100, para_words=1350) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
 def _apply_affinity() -> None:
     """Pin this process (and the JVM it forks) to $SPARK_GRAFT_AFFINITY
     cores, e.g. '0-7' — makes local[N] a faithful N-core-node simulation
@@ -136,6 +152,22 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # drop them between queries so 3x-sampled runs don't accumulate
         # cached blocks for the session lifetime
         spark.catalog.clearCache()
+
+    # fat-payload tier: same fused pipeline over ~0.9MB rows with the
+    # Arrow batch cap sized by the payload envelope (config.
+    # arrow_batch_rows_for: 16MiB target -> ~18 rows; the 2048-row default
+    # would build 100MB+ batches and ~2x the worker RSS — SCALE.md §7)
+    from dup_ocropy_spark.config import DEFAULT_CONFIG, arrow_batch_rows_for
+
+    fat = spark.read.parquet(ensure_fat_transcripts(spark))
+    fat_cap = arrow_batch_rows_for(FAT_PAYLOAD_BYTES)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(fat_cap))
+    try:
+        queries["extract_fat_payloads"] = round(
+            min(timed_noop(extract(fat)) for _ in range(3)), 3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(DEFAULT_CONFIG.arrow_batch_rows))
 
     total = round(sum(queries.values()), 3)
     result = {

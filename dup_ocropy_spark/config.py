@@ -52,3 +52,24 @@ class ExtractConfig:
 
 
 DEFAULT_CONFIG = ExtractConfig()
+
+# Target Arrow batch footprint for the extraction stage. The worst-case
+# transfer cost of a batch is ~rows x max_payload_chars on each side of
+# the JVM<->Python boundary; 2048 rows is the measured optimum for ~KB
+# payloads but would mean multi-GB batches for MB rows. 16 MiB measured
+# best on the fat tier (~0.9 MB payloads, one 150 MB task): peak Python-
+# worker RSS 251 MB vs 530 MB at the 2048-row cap, wall 11.9 s vs 13.9 s
+# (smaller arenas + better pipelining); for ~KB payloads 16 MiB / 1 KB
+# clamps to the 2048-row default, so the tuned small-row behavior is
+# unchanged. Details: SCALE.md section 7.
+ARROW_BATCH_TARGET_BYTES = 16 << 20
+
+
+def arrow_batch_rows_for(max_payload_bytes: int,
+                         target_bytes: int = ARROW_BATCH_TARGET_BYTES,
+                         lo: int = 16, hi: int | None = None) -> int:
+    """Arrow batch row cap sized to the payload envelope: the largest row
+    count whose worst-case batch stays under ``target_bytes``, clamped to
+    [lo, DEFAULT_CONFIG.arrow_batch_rows]."""
+    hi = hi or DEFAULT_CONFIG.arrow_batch_rows
+    return max(lo, min(hi, target_bytes // max(1, max_payload_bytes)))

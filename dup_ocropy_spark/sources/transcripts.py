@@ -261,6 +261,40 @@ def synth_expected(spark, n_convs: int, hot_every: int = 0, hot_turns: int = 120
             .mapInPandas(gen, schema=EXPECTED_SCHEMA))
 
 
+def synth_fat_transcripts(spark, n_convs: int = 96, n_paras: int = 100,
+                          para_words: int = 380, partitions: int | None = None):
+    """Deterministic FAT-payload tier: single-turn conversations whose text
+    payload is ~100 KB-1 MB of paragraph-separated prose (the P1 page-size
+    envelope analog, reference ocropus-nlbin:61-69 accepts pages up to the
+    equivalent of ~1 MB of characters). Each payload segments into
+    ``n_paras`` blocks via blank-line runs, so the fused kernel does real
+    per-block work, not one giant memcpy. Used by bench.py to measure the
+    Arrow-batch-size / peak-memory tradeoff (config.arrow_batch_rows_for)."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(it):
+        for pdf in it:
+            for ci in pdf["id"]:
+                ci = int(ci)
+                rng = np.random.default_rng([4242, ci])
+                paras = []
+                for _ in range(n_paras):
+                    idx = rng.integers(0, len(_VOCAB), para_words)
+                    paras.append(" ".join(_VOCAB[i] for i in idx))
+                yield pd.DataFrame({
+                    "conv_id": [f"fat{ci:07d}"],
+                    "turn_idx": pd.array([0], dtype="int32"),
+                    "role": ["user"],
+                    "text": ["\n\n".join(paras)],
+                    "tool": [""],
+                    "ts": [pd.Timestamp("2026-01-01", tz="UTC")
+                           + pd.Timedelta(seconds=ci)],
+                })
+
+    return (spark.range(n_convs).repartition(parts, "id")
+            .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA))
+
+
 def write_transcripts(spark, path: str, n_convs: int, hot_every: int = 0,
                       hot_turns: int = 1200, shuffle_on_disk: bool = True) -> None:
     """Materialize to parquet; rows are hash-scrambled on disk so readers
