@@ -183,3 +183,17 @@ def test_extract_logistic_mode_agrees_on_clear_cases():
     r = extract_turn(HTML, config=cfg)
     assert "First real paragraph" in r["extracted_text"]
     assert "Copyright" not in r["extracted_text"]
+
+
+def test_arrow_batch_rows_for_policy():
+    """Batch cap scales inversely with payload size: KB payloads keep the
+    tuned 2048-row default, MB payloads drop to ~16MiB/payload rows, and
+    the clamp floor prevents degenerate 1-row batches."""
+    from dup_ocropy_spark.config import (
+        ARROW_BATCH_TARGET_BYTES, DEFAULT_CONFIG, arrow_batch_rows_for,
+    )
+
+    assert arrow_batch_rows_for(1_000) == DEFAULT_CONFIG.arrow_batch_rows
+    assert arrow_batch_rows_for(900_000) == ARROW_BATCH_TARGET_BYTES // 900_000
+    assert arrow_batch_rows_for(10_000_000) == 16   # floor
+    assert arrow_batch_rows_for(0) == DEFAULT_CONFIG.arrow_batch_rows
