@@ -72,3 +72,28 @@ def test_levenshtein_metric_properties(a, b, c):
     assert levenshtein(a, b) >= abs(len(a) - len(b))
     assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
     assert (levenshtein(a, b) == 0) == (a == b)
+
+
+# alphabet for the cross-engine normalization triangle: ASCII prose + every
+# homograph char + tab/newline. Excludes \x0b/\x0c (Java \s includes VT/FF,
+# RE2's does not — a dialect edge no transcript corpus hits) and NFD
+# combining marks (the kernel NFC-normalizes; the column chains document
+# that NFC payloads go through the kernel path).
+_NORM_ALPHABET = ("abcXYZ 09.,;:!?\t\n" "_~#\"`´" "“”„‟‘’‚‛…′″‴〃µ–—ﬂﬁﬀﬃﬄ")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_NORM_ALPHABET, max_size=80))
+def test_normalize_kernel_duckdb_triple_parity(s):
+    """The DuckDB replace-chain generated from the engine's literal table
+    (functions/text.normalize_sql — the chain every oracle twin embeds)
+    must agree with the authoritative kernel normalize_text on arbitrary
+    homograph/whitespace soup. The Spark JVM chain's parity with the
+    kernel is pinned in test_functions, closing the three-engine triangle."""
+    import duckdb
+
+    from dup_ocropy_spark.functions.text import normalize_sql, sql_quote
+
+    want = normalize_text(s)
+    got = duckdb.sql(f"SELECT {normalize_sql(sql_quote(s))} AS n").fetchone()[0]
+    assert got == want, (s, got, want)
