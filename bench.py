@@ -153,6 +153,32 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # cached blocks for the session lifetime
         spark.catalog.clearCache()
 
+    # two-phase dedup wall: phase-1 signature materialization (parquet)
+    # + phase-2 pair join from the re-read table — the 100TB job pattern
+    # (jobs/dedup_job.py --two-phase); compare with dedup_minhash_lsh,
+    # the in-memory-persist variant of the same operator
+    import shutil
+
+    from dup_ocropy_spark.operators.dedup import (
+        minhash_pairs_from, minhash_signatures, shingles_of,
+    )
+
+    sig_path = os.path.join(CACHE_ROOT, "bench_minhash_signatures")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def two_phase() -> float:
+        t0 = time.time()
+        minhash_signatures(shingles_of(docs)).write.mode("overwrite") \
+            .parquet(sig_path)
+        minhash_pairs_from(spark.read.parquet(sig_path)) \
+            .write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    queries["dedup_minhash_two_phase"] = round(min(two_phase()
+                                                   for _ in range(3)), 3)
+    shutil.rmtree(sig_path, ignore_errors=True)
+
     # fat-payload tier: same fused pipeline over ~0.9MB rows with the
     # Arrow batch cap sized by the payload envelope (config.
     # arrow_batch_rows_for: 16MiB target -> ~18 rows; the 2048-row default

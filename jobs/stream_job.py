@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: streaming extraction with online dedup.
+
+    spark-submit --py-files dup_ocropy_spark.zip jobs/stream_job.py \
+        --input <landing dir> --output <out dir> --checkpoint <ckpt dir> \
+        [--dedup exact|near|off] [--watermark "1 hour"] \
+        [--timeout-sec N]   # stop after N idle seconds (tests/backfill)
+
+Pipeline (all bounded-state, append mode):
+
+    file stream -> [watermarked exact or near-dup dedup] ->
+    fused extraction mapInPandas -> parquet sink (exactly-once via the
+    checkpointed file-source log)
+
+``--dedup near`` chains one dropDuplicatesWithinWatermark per minhash
+band (streaming/extract_stream.near_deduped_stream): an arriving turn is
+dropped if ANY band key was seen inside the watermark — the online LSH
+gate; the batch sweep (jobs/dedup_job.py) remains the retroactive
+authority. ``exact`` dedups on the normalized-payload fingerprint only.
+
+On a real cluster the trigger runs forever; ``--timeout-sec`` bounds the
+run for tests and bounded backfills.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--dedup", choices=("exact", "near", "off"), default="near")
+    ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--timeout-sec", type=float, default=None,
+                    help="stop after this many seconds with no new data "
+                         "(bounded backfill / test mode); default: run forever")
+    ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from dup_ocropy_spark.session import get_spark
+    from dup_ocropy_spark.streaming.extract_stream import (
+        deduped_stream, extracted_stream, near_deduped_stream,
+        transcript_stream,
+    )
+
+    spark = get_spark(app_name="dup_ocropy_stream")
+    stream = transcript_stream(spark, args.input, args.max_files_per_trigger)
+    if args.dedup == "near":
+        stream = near_deduped_stream(stream, args.watermark)
+    elif args.dedup == "exact":
+        stream = deduped_stream(stream, args.watermark).drop("fp")
+    out = extracted_stream(stream)
+
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", args.output)
+         .option("checkpointLocation", args.checkpoint)
+         .outputMode("append")
+         .start())
+    if args.timeout_sec is None:
+        q.awaitTermination()
+    else:
+        # bounded mode: drain what is available, then stop cleanly
+        q.processAllAvailable()
+        q.stop()
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "dedup": args.dedup}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -20,6 +20,7 @@ import dedup_job  # noqa: E402
 import eval_job  # noqa: E402
 import extract_job  # noqa: E402
 import similarity_job  # noqa: E402
+import stream_job  # noqa: E402
 import train_job  # noqa: E402
 
 
@@ -79,6 +80,23 @@ def test_dedup_job_methods(spark, tmp_path, capsys):
         assert rep["rows"] >= min_rows, method
         pairs = spark.read.parquet(str(tmp_path / method)).collect()
         assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs), method
+
+
+def test_stream_job_bounded_run(spark, transcripts_path, tmp_path, capsys):
+    """The streaming entrypoint drains a landing dir in bounded mode:
+    file stream -> near-dup gate -> fused extraction -> parquet sink, with
+    checkpointed progress; the extracted schema lands in the sink."""
+    rep = _run(stream_job,
+               ["--input", transcripts_path, "--output", str(tmp_path / "so"),
+                "--checkpoint", str(tmp_path / "ck"), "--dedup", "near",
+                "--timeout-sec", "1"], capsys)
+    assert rep["rows"] > 0 and rep["dedup"] == "near"
+    out = spark.read.parquet(str(tmp_path / "so"))
+    assert {"conv_id", "turn_idx", "extracted_text",
+            "reject_reason"} <= set(out.columns)
+    # near-dup gate admits at most one survivor per identical payload
+    n_raw = spark.read.parquet(transcripts_path).count()
+    assert rep["rows"] <= n_raw
 
 
 def test_quality_gate_counts_sentence_initial_stopwords(spark):
