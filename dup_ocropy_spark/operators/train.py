@@ -156,6 +156,74 @@ def train_lstm(n_convs: int = 60, epochs: int = 60, lr: float = 0.05,
     return model, acc
 
 
+def score_label_frame(transcripts: DataFrame,
+                      weights: np.ndarray | None = None,
+                      bias: float | None = None) -> DataFrame:
+    """Distributed (score, rule_label) pairs per non-noise block: the raw
+    material for decision-threshold calibration. Feature extraction +
+    scoring fan out in one mapInPandas; nothing else leaves the JVM."""
+    from dup_ocropy_spark.kernels.classify import logistic_scores
+
+    def _batch(batches):
+        for pdf in batches:
+            scores: list[float] = []
+            labels: list[int] = []
+            texts = pdf["text"] if "text" in pdf else [""] * len(pdf)
+            tools = pdf["tool"] if "tool" in pdf else [""] * len(pdf)
+            for text, tool in zip(texts, tools):
+                payload = tool if isinstance(tool, str) and tool else (text or "")
+                if not isinstance(payload, str) or len(payload.strip()) < 20:
+                    continue
+                blocks = segment_payload(payload)
+                if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
+                    continue
+                classify_blocks(blocks)  # rule labels (ground truth)
+                X = block_features(blocks)
+                sc = logistic_scores(X, weights, bias)
+                for b, s in zip(blocks, sc):
+                    if b.label == "noise":
+                        continue
+                    scores.append(float(s))
+                    labels.append(1 if b.label == "content" else 0)
+            if scores:
+                yield pd.DataFrame({"score": scores, "label": labels})
+
+    cols = [c for c in ("text", "tool") if c in transcripts.columns]
+    return transcripts.select(*cols).mapInPandas(_batch,
+                                                 schema="score double, label int")
+
+
+def calibrate_threshold(transcripts: DataFrame,
+                        weights: np.ndarray | None = None,
+                        bias: float | None = None,
+                        grid: np.ndarray | None = None) -> tuple[float, float]:
+    """Data-driven decision-threshold estimation (reference N4 analog:
+    ``ocropus-nlbin:27-37`` estimates its binarization thresholds from the
+    image's percentile statistics rather than hard-coding them; here the
+    'image' is the corpus score distribution).
+
+    One distributed pass: per-block (score, rule_label) pairs, then ONE
+    aggregation computing agreement-with-rule-labels for every candidate
+    threshold as conditional-sum columns (pure codegen, no shuffle beyond
+    the final 1-row agg). Returns (best_threshold, best_accuracy);
+    deterministic — ties break toward the lowest threshold.
+    """
+    from pyspark.sql import functions as F
+
+    if grid is None:
+        grid = np.round(np.linspace(0.1, 0.9, 33), 6)
+    sl = score_label_frame(transcripts, weights, bias)
+    aggs = [
+        F.avg(F.when(((F.col("score") >= float(t)).cast("int")
+                      == F.col("label")), 1.0).otherwise(0.0)).alias(f"t{i}")
+        for i, t in enumerate(grid)
+    ]
+    row = sl.agg(*aggs).collect()[0]
+    accs = np.array([row[f"t{i}"] for i in range(len(grid))], dtype=float)
+    best = int(np.argmax(accs))  # argmax takes the FIRST max: lowest threshold
+    return float(grid[best]), float(accs[best])
+
+
 def train_classifier(transcripts: DataFrame, context: bool = False,
                      **fit_kw) -> tuple[np.ndarray, float, float]:
     """-> (weights, bias, train_accuracy_vs_rule_labels).

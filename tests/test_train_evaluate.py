@@ -66,6 +66,32 @@ def test_classified_margin_guard(spark):
     assert n_near == 0, f"{n_near} docs within the decision-flip band"
 
 
+def test_calibrate_threshold_distributed(spark, train_convs):
+    """N4 analog: the decision threshold estimated from the corpus score
+    distribution must (a) reach the rule-label agreement of the best grid
+    point, (b) be deterministic, and (c) for the pretrained weights on the
+    synthetic corpus, keep distillation agreement at >= the default-0.5
+    accuracy."""
+    import numpy as np
+
+    from dup_ocropy_spark.operators.train import (
+        PRETRAINED_LOGISTIC_BIAS, PRETRAINED_LOGISTIC_WEIGHTS,
+        calibrate_threshold, score_label_frame,
+    )
+
+    w = np.array(PRETRAINED_LOGISTIC_WEIGHTS)
+    b = PRETRAINED_LOGISTIC_BIAS
+    t1, acc1 = calibrate_threshold(train_convs, w, b)
+    t2, acc2 = calibrate_threshold(train_convs, w, b)
+    assert (t1, acc1) == (t2, acc2)                 # deterministic
+    assert 0.1 <= t1 <= 0.9 and acc1 >= 0.99
+    # calibrated threshold is at least as good as the default 0.5
+    sl = score_label_frame(train_convs, w, b).toPandas()
+    acc_default = float((((sl["score"] >= 0.5).astype(int))
+                         == sl["label"]).mean())
+    assert acc1 >= acc_default - 1e-12
+
+
 def test_eval_zero_cer_against_ground_truth(spark, train_convs):
     pred = extract(train_convs)
     gt = synth_expected(spark, 40)
