@@ -158,7 +158,8 @@ def train_lstm(n_convs: int = 60, epochs: int = 60, lr: float = 0.05,
 
 def score_label_frame(transcripts: DataFrame,
                       weights: np.ndarray | None = None,
-                      bias: float | None = None) -> DataFrame:
+                      bias: float | None = None,
+                      context: bool = False) -> DataFrame:
     """Distributed (score, rule_label) pairs per non-noise block: the raw
     material for decision-threshold calibration. Feature extraction +
     scoring fan out in one mapInPandas; nothing else leaves the JVM."""
@@ -179,6 +180,8 @@ def score_label_frame(transcripts: DataFrame,
                     continue
                 classify_blocks(blocks)  # rule labels (ground truth)
                 X = block_features(blocks)
+                if context:
+                    X = context_features(X)
                 sc = logistic_scores(X, weights, bias)
                 for b, s in zip(blocks, sc):
                     if b.label == "noise":
@@ -196,7 +199,8 @@ def score_label_frame(transcripts: DataFrame,
 def calibrate_threshold(transcripts: DataFrame,
                         weights: np.ndarray | None = None,
                         bias: float | None = None,
-                        grid: np.ndarray | None = None) -> tuple[float, float]:
+                        grid: np.ndarray | None = None,
+                        context: bool = False) -> tuple[float, float]:
     """Data-driven decision-threshold estimation (reference N4 analog:
     ``ocropus-nlbin:27-37`` estimates its binarization thresholds from the
     image's percentile statistics rather than hard-coding them; here the
@@ -212,7 +216,7 @@ def calibrate_threshold(transcripts: DataFrame,
 
     if grid is None:
         grid = np.round(np.linspace(0.1, 0.9, 33), 6)
-    sl = score_label_frame(transcripts, weights, bias)
+    sl = score_label_frame(transcripts, weights, bias, context)
     aggs = [
         F.avg(F.when(((F.col("score") >= float(t)).cast("int")
                       == F.col("label")), 1.0).otherwise(0.0)).alias(f"t{i}")

@@ -69,9 +69,14 @@ def load_model(path: str) -> tuple[np.ndarray, float, str, dict]:
 
 
 def config_with_model(path: str, base: ExtractConfig | None = None) -> ExtractConfig:
-    """ExtractConfig wired to a saved model."""
+    """ExtractConfig wired to a saved model; a calibrated decision
+    threshold stored in the artifact meta (train_job --calibrate)
+    overrides the static default."""
     from dataclasses import replace
 
-    w, b, kind, _ = load_model(path)
+    w, b, kind, meta = load_model(path)
     base = base or ExtractConfig()
-    return replace(base, classifier=kind, weights=tuple(w), bias=b)
+    kw: dict = {"classifier": kind, "weights": tuple(w), "bias": b}
+    if "content_threshold" in meta:
+        kw["content_threshold"] = float(meta["content_threshold"])
+    return replace(base, **kw)

@@ -26,9 +26,15 @@ def main(argv: list[str]) -> int:
                     help="train the bidirectional-context variant (L6 analog)")
     ap.add_argument("--sample", type=int, default=100_000)
     ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="estimate the decision threshold from the corpus "
+                         "score distribution (N4 analog) and store it in "
+                         "the artifact meta; config_with_model applies it")
     args = ap.parse_args(argv)
 
-    from dup_ocropy_spark.operators.train import train_classifier
+    from dup_ocropy_spark.operators.train import (
+        calibrate_threshold, train_classifier,
+    )
     from dup_ocropy_spark.session import get_spark
     from dup_ocropy_spark.sources.models import save_model
 
@@ -37,10 +43,18 @@ def main(argv: list[str]) -> int:
     w, b, acc = train_classifier(transcripts, context=args.context,
                                  sample=args.sample, epochs=args.epochs)
     kind = "logistic_ctx" if args.context else "logistic"
-    save_model(args.model_out, w, b, kind=kind,
-               meta={"train_accuracy": acc, "input": args.input})
-    print(json.dumps({"model": args.model_out, "kind": kind,
-                      "train_accuracy": round(acc, 4)}))
+    meta = {"train_accuracy": acc, "input": args.input}
+    if args.calibrate:
+        thr, thr_acc = calibrate_threshold(transcripts, w, b,
+                                           context=args.context)
+        meta["content_threshold"] = thr
+        meta["threshold_accuracy"] = thr_acc
+    save_model(args.model_out, w, b, kind=kind, meta=meta)
+    rep = {"model": args.model_out, "kind": kind,
+           "train_accuracy": round(acc, 4)}
+    if args.calibrate:
+        rep["content_threshold"] = meta["content_threshold"]
+    print(json.dumps(rep))
     return 0
 
 

@@ -213,3 +213,21 @@ def test_train_job_writes_model(spark, transcripts_path, tmp_path, capsys):
     assert rep["train_accuracy"] > 0.8
     art = json.load(open(model))
     assert art["kind"] == "logistic" and len(art["weights"]) > 0
+
+
+def test_train_job_calibrated_threshold_flows_to_config(spark, transcripts_path,
+                                                        tmp_path, capsys):
+    """--calibrate stores the corpus-estimated decision threshold in the
+    artifact meta, and config_with_model applies it over the static
+    default — the full train -> calibrate -> artifact -> config loop."""
+    from dup_ocropy_spark.sources.models import config_with_model
+
+    model = str(tmp_path / "model_cal.json")
+    rep = _run(train_job, ["--input", transcripts_path, "--model-out", model,
+                           "--epochs", "60", "--calibrate"], capsys)
+    assert 0.1 <= rep["content_threshold"] <= 0.9
+    art = json.load(open(model))
+    assert art["meta"]["threshold_accuracy"] >= 0.95
+    cfg = config_with_model(model)
+    assert cfg.content_threshold == art["meta"]["content_threshold"]
+    assert cfg.classifier == "logistic" and cfg.weights is not None

@@ -56,8 +56,10 @@ def test_classified_margin_guard(spark):
     """Every content decision of the trained classifier on the driver corpus
     must clear the z=0 boundary by a wide margin — engine-vs-oracle float
     summation order can never flip a decision."""
+    import dup_ocropy_spark.operators as _ops
     from dup_ocropy_spark.operators.registry import REGISTRY
 
+    _ops.load_all()
     df = REGISTRY["extract_documents_classified"].spark(spark, "/root/testdata/sf0.001")
     scored = df.where(F.col("content_score") >= 0)
     # sigmoid(1.8) ~ 0.858: min margin measured 2.04 at sf0.001
