@@ -38,6 +38,9 @@ def main(argv: list[str]) -> int:
     curated, stats = curate(transcripts, salted=args.salted)
     curated.write.mode("overwrite").parquet(args.output)
     rep = stats.collect()[0].asDict()
+    # both consumers of curate()'s persisted intermediates are now
+    # materialized — release the cached blocks before returning
+    spark.catalog.clearCache()
     rep["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(rep))
     return 0
