@@ -168,7 +168,10 @@ def ivf_train_centroids(emb, dim: int = 64, k: int = IVF_K,
     deterministic across partitionings). orderBy+limit compiles to
     TakeOrdered (per-partition top-k, no global sort shuffle)."""
     rows = (emb.select("vec_id", "embedding")
-            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+            # vec_id tie-break: a hash collision at the limit boundary must
+            # not make the sample partitioning-dependent (CLAUDE.md
+            # invariant: every top-k orderBy ends in a unique column)
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
             .limit(sample).toPandas()["embedding"].tolist())
     X = np.asarray([np.asarray(r, dtype=float) for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -223,6 +223,10 @@ def calibrate_threshold(transcripts: DataFrame,
         for i, t in enumerate(grid)
     ]
     row = sl.agg(*aggs).collect()[0]
+    if row["t0"] is None:
+        raise ValueError("calibrate_threshold: no scorable blocks in the "
+                         "corpus (every payload gated out) — refusing to "
+                         "emit a threshold from an empty score frame")
     accs = np.array([row[f"t{i}"] for i in range(len(grid))], dtype=float)
     best = int(np.argmax(accs))  # argmax takes the FIRST max: lowest threshold
     return float(grid[best]), float(accs[best])

@@ -53,6 +53,18 @@ def windowed_throughput(stream: DataFrame, config: ExtractConfig = DEFAULT_CONFI
                  .alias("n_rejected")))
 
 
+def _payload_and_cols(stream: DataFrame):
+    """(carried columns, payload Column) shared by the dedup stages: prefer
+    a non-empty tool payload when the stream HAS a tool column; a text-only
+    stream falls back to text (the tolerant cols filter must never admit a
+    schema the fingerprint expression then rejects)."""
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            if c in stream.columns]
+    payload = (F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text"))
+               if "tool" in stream.columns else F.col("text"))
+    return cols, payload
+
+
 def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: md5 fingerprint of the normalized payload,
     duplicates dropped across micro-batches while their event time is
@@ -63,13 +75,7 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     Uses dropDuplicatesWithinWatermark so the dedup state is bounded at
     100 TB/day ingest: a fingerprint is only held for `watermark` of
     event time, not forever."""
-    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            if c in stream.columns]
-    # payload column: prefer a non-empty tool payload when the stream HAS a
-    # tool column; a text-only stream falls back to text (the tolerant cols
-    # filter above must not admit a schema the fingerprint then rejects)
-    payload = (F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text"))
-               if "tool" in stream.columns else F.col("text"))
+    cols, payload = _payload_and_cols(stream)
     fp = F.md5(F.lower(F.trim(F.regexp_replace(payload, r"\s+", " "))))
     return (stream.select(*cols)
             .withColumn("fp", fp)
@@ -86,24 +92,41 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 STREAM_BANDS = 4
 STREAM_ROWS_PER_BAND = 2
 
+# Minimum normalized-payload length for NEAR-dup banding. Below this the
+# payload yields only 1-2 stride-10 shingles, the minhash similarity
+# estimate is pure noise, and — because the streaming gate DROPS on any
+# band collision (no downstream verification like the batch path) — two
+# DISTINCT short turns sharing a 20-char prefix would be deduped with
+# ~68% probability. Short payloads therefore fall back to EXACT
+# fingerprint keys per band: identical shorts still dedup, distinct
+# shorts never collide.
+NEAR_DEDUP_MIN_CHARS = 64
+
 
 def _stream_band_keys(payload):
     """Per-row minhash band keys as pure JVM array expressions — no
     aggregation, so they are computable inside a streaming select:
-    shingle positions -> substrings -> per-seed xxhash64 min -> band key."""
+    shingle positions -> substrings -> per-seed xxhash64 min -> band key.
+    The final window position is always included so the payload TAIL is
+    covered (a bare stride sequence decides length-21..29 payloads
+    entirely by their first 20 chars)."""
     from dup_ocropy_spark.operators.dedup import SHINGLE_LEN, SHINGLE_STRIDE
 
-    positions = F.sequence(
-        F.lit(1),
-        F.greatest(F.length(payload) - F.lit(SHINGLE_LEN - 1), F.lit(1)),
-        F.lit(SHINGLE_STRIDE))
+    last = F.greatest(F.length(payload) - F.lit(SHINGLE_LEN - 1), F.lit(1))
+    positions = F.array_distinct(F.concat(
+        F.sequence(F.lit(1), last, F.lit(SHINGLE_STRIDE)),
+        F.array(last)))
     shingles = F.transform(positions,
                            lambda p: F.substring(payload, p, F.lit(SHINGLE_LEN)))
     mins = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
             for k in range(STREAM_BANDS * STREAM_ROWS_PER_BAND)]
-    return [F.xxhash64(*[mins[b * STREAM_ROWS_PER_BAND + r]
-                         for r in range(STREAM_ROWS_PER_BAND)])
-            for b in range(STREAM_BANDS)]
+    is_short = F.length(payload) < NEAR_DEDUP_MIN_CHARS
+    return [
+        F.when(is_short, F.xxhash64(payload, F.lit(1_000_000 + b)))
+        .otherwise(F.xxhash64(*[mins[b * STREAM_ROWS_PER_BAND + r]
+                                for r in range(STREAM_ROWS_PER_BAND)]))
+        for b in range(STREAM_BANDS)
+    ]
 
 
 def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -122,10 +145,7 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     never enter later state, so a C that only resembles B may survive —
     the batch sweep remains the authority for retroactive cluster closure.
     """
-    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
-            if c in stream.columns]
-    payload = (F.coalesce(F.nullif(F.col("tool"), F.lit("")), F.col("text"))
-               if "tool" in stream.columns else F.col("text"))
+    cols, payload = _payload_and_cols(stream)
     norm = F.lower(F.trim(F.regexp_replace(payload, r"\s+", " ")))
     keys = _stream_band_keys(norm)
     out = stream.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])

@@ -100,7 +100,8 @@ def main(argv: list[str]) -> int:
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"method": args.method, "rows": n,
-                      "two_phase": bool(args.two_phase),
+                      # exact has no signature phase: report what actually ran
+                      "two_phase": bool(args.two_phase and args.method != "exact"),
                       "wall_sec": round(time.time() - t0, 1)}))
     return 0
 

@@ -70,10 +70,23 @@ def main(argv: list[str]) -> int:
     if args.timeout_sec is None:
         q.awaitTermination()
     else:
-        # bounded mode: drain what is available, then stop cleanly
-        q.processAllAvailable()
+        # bounded mode: keep draining until no new data has arrived for
+        # --timeout-sec (drains reset the idle window), then stop cleanly
+        import time
+
+        deadline = time.time() + args.timeout_sec
+        while time.time() < deadline:
+            before = (q.lastProgress or {}).get("batchId", -1)
+            q.processAllAvailable()
+            after = (q.lastProgress or {}).get("batchId", -1)
+            if after != before:
+                deadline = time.time() + args.timeout_sec
+            time.sleep(min(0.5, max(args.timeout_sec / 4, 0.05)))
         q.stop()
-    n = spark.read.parquet(args.output).count()
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:  # no input files arrived -> sink dir has no parquet
+        n = 0
     print(json.dumps({"rows": n, "dedup": args.dedup}))
     return 0
 

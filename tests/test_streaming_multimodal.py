@@ -166,6 +166,51 @@ def test_streaming_near_dedup_catches_mutated_payloads(spark, tmp_path):
     assert got == {"c0", "c1", "c2", "c3", "c7"}, got
 
 
+def test_streaming_near_dedup_short_payloads_fall_back_to_exact(spark, tmp_path):
+    """Payloads too short for a meaningful shingle set must NOT be
+    near-dup-gated: two distinct short turns sharing a 20-char prefix both
+    survive (the naive banding dropped the second with ~68% probability —
+    silent data loss), while byte-identical shorts still dedup."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import near_deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    texts = ["can you help me with X",   # 22 chars: one shingle window
+             "can you help me with Y",   # distinct, same 20-char prefix
+             "can you help me with X",   # exact dup of the first
+             "something else entirely"]
+    pdf = pd.DataFrame({
+        "conv_id": [f"s{i}" for i in range(len(texts))],
+        "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+        "role": "user",
+        "text": texts,
+        "tool": "",
+        "ts": [base] * len(texts),
+    })
+    src = tmp_path / "short_in"
+    src.mkdir()
+    spark.createDataFrame(pdf).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    stream = (spark.readStream.schema(
+                  "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+              .parquet(str(src / "*")))
+    q = (near_deduped_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("short_dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.sql("SELECT conv_id FROM short_dedup_out")
+                 .toPandas()["conv_id"])
+    # s0/s1 distinct -> both kept; s2 exact dup of s0 -> dropped; s3 kept
+    assert got == ["s0", "s1", "s3"], got
+
+
 def test_wav_real_decoder(spark):
     """The stdlib wave codec is a REAL decode path: PCM sine fixtures yield
     per-segment RMS envelopes that vary across docs, are deterministic
