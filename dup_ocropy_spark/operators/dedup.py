@@ -70,7 +70,8 @@ def exact_keep_first(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # DuckDB's generate_series table function rejects lateral column params,
-# so build a global position series and filter per doc.
+# so build a global position series and filter per doc; the per-doc tail
+# window (not generally on the stride grid) is unioned in separately.
 _SHINGLES_SQL = f"""
   SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), {SHINGLE_LEN}) AS sh
   FROM documents,
@@ -80,16 +81,27 @@ _SHINGLES_SQL = f"""
              FROM documents),
             {SHINGLE_STRIDE})) AS p)
   WHERE p <= greatest(length(text) - {SHINGLE_LEN - 1}, 1)
+  UNION
+  SELECT doc_id,
+         substr(text, CAST(greatest(length(text) - {SHINGLE_LEN - 1}, 1) AS INT),
+                {SHINGLE_LEN}) AS sh
+  FROM documents
 """
 
 
 def shingles_of(d: DataFrame) -> DataFrame:
     """Distinct positional char shingles per doc (JVM-side: sequence +
-    explode + substring, no Python). Input: (doc_id, text)."""
-    pos = F.explode(F.sequence(
-        F.lit(1),
-        F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1)),
-        F.lit(SHINGLE_STRIDE))).alias("p")
+    explode + substring, no Python). Input: (doc_id, text).
+
+    The final window position is always included: a bare stride sequence
+    leaves up to stride-1 tail chars uncovered, so two docs differing
+    only in the tail would compare as identical shingle sets (the stream
+    gate hit this as real data loss; the batch estimate just lost
+    fidelity). The DuckDB twin unions the same tail window."""
+    last = F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1))
+    pos = F.explode(F.array_distinct(F.concat(
+        F.sequence(F.lit(1), last, F.lit(SHINGLE_STRIDE)),
+        F.array(last)))).alias("p")
     return (d.select("doc_id", "text", pos)
             .select("doc_id", F.substring(F.col("text"), F.col("p").cast("int"), SHINGLE_LEN)
                     .alias("sh"))

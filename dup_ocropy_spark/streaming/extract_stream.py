@@ -83,9 +83,11 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
-# streaming LSH banding: 4 bands x 2 rows over the same char shingles as
-# the batch operators (dedup.py SHINGLE_LEN/STRIDE), so batch and stream
-# agree on what "near" means. Candidate probability at jaccard s is
+# streaming LSH banding: 4 bands x 2 rows over the same char shingle set
+# as the batch operators (dedup.py SHINGLE_LEN/STRIDE + tail window), so
+# batch and stream agree on what "near" means — a stream band key equals
+# the corresponding batch minhash band key (test-pinned); the stream just
+# uses fewer bands (4 of the 16) plus the short-payload exact fallback. Candidate probability at jaccard s is
 # 1-(1-s^2)^4: ~0.98 at s=0.8, ~0.68 at s=0.5 — tuned for the
 # high-similarity near-dups a streaming ingest gate should stop; the batch
 # 16x2 sweep remains the high-recall offline pass.

@@ -211,6 +211,29 @@ def test_streaming_near_dedup_short_payloads_fall_back_to_exact(spark, tmp_path)
     assert got == ["s0", "s1", "s3"], got
 
 
+def test_stream_band_keys_match_batch_minhash(spark):
+    """A streaming band key must equal the corresponding batch minhash
+    band key for the same (long) payload — batch sweep and stream gate
+    share one definition of 'near' (same shingles, same seeds)."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.dedup import minhash_signatures, shingles_of
+    from dup_ocropy_spark.streaming.extract_stream import (
+        STREAM_BANDS, _stream_band_keys,
+    )
+
+    text = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    batch = {r.band: r.band_key
+             for r in minhash_signatures(shingles_of(docs)).collect()}
+    keys = _stream_band_keys(F.col("text"))
+    stream_row = docs.select(*[k.alias(f"b{b}")
+                               for b, k in enumerate(keys)]).collect()[0]
+    for b in range(STREAM_BANDS):
+        assert stream_row[f"b{b}"] == batch[b], b
+
+
 def test_wav_real_decoder(spark):
     """The stdlib wave codec is a REAL decode path: PCM sine fixtures yield
     per-segment RMS envelopes that vary across docs, are deterministic
