@@ -52,6 +52,28 @@ def _feature_names(context: bool) -> tuple[str, ...]:
     return CTX_FEATURE_NAMES if context else FEATURE_NAMES
 
 
+def _iter_labeled_blocks(pdf: pd.DataFrame, context: bool):
+    """Shared per-batch core of every training/calibration stage: gate each
+    payload, segment, rule-classify (ground truth), build the (optionally
+    bidi-context) feature matrix. Yields (blocks, X) per payload."""
+    # default a missing column to a same-length empty series: zipping
+    # against a scalar '' would silently yield zero training rows
+    texts = pdf["text"] if "text" in pdf else [""] * len(pdf)
+    tools = pdf["tool"] if "tool" in pdf else [""] * len(pdf)
+    for text, tool in zip(texts, tools):
+        payload = tool if isinstance(tool, str) and tool else (text or "")
+        if not isinstance(payload, str) or len(payload.strip()) < 20:
+            continue
+        blocks = segment_payload(payload)
+        if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
+            continue
+        classify_blocks(blocks)  # rule labels
+        X = block_features(blocks)
+        if context:
+            X = context_features(X)  # L6 bidi-context frame
+        yield blocks, X
+
+
 def _features_batch_fn(context: bool):
     def _features_batch(batches):
         """payloads -> (features, rule label) rows; noise blocks excluded
@@ -59,21 +81,7 @@ def _features_batch_fn(context: bool):
         names = _feature_names(context)
         for pdf in batches:
             rows = []
-            # default a missing column to a same-length empty series: zipping
-            # against a scalar '' would silently yield zero training rows
-            texts = pdf["text"] if "text" in pdf else [""] * len(pdf)
-            tools = pdf["tool"] if "tool" in pdf else [""] * len(pdf)
-            for text, tool in zip(texts, tools):
-                payload = tool if isinstance(tool, str) and tool else (text or "")
-                if not isinstance(payload, str) or len(payload.strip()) < 20:
-                    continue
-                blocks = segment_payload(payload)
-                if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
-                    continue
-                classify_blocks(blocks)  # rule labels
-                X = block_features(blocks)
-                if context:
-                    X = context_features(X)  # L6 bidi-context frame
+            for blocks, X in _iter_labeled_blocks(pdf, context):
                 for b, x in zip(blocks, X):
                     if b.label == "noise":
                         continue
@@ -130,15 +138,8 @@ def sequence_training_data(n_convs: int = 60) -> tuple[list[np.ndarray], list[np
     labels: list[np.ndarray] = []
     for ci in range(n_convs):
         tdf, _ = synth_conv(ci)
-        for text, tool in zip(tdf["text"], tdf["tool"]):
-            payload = tool if tool else text
-            if not payload or len(payload.strip()) < 20:
-                continue
-            blocks = segment_payload(payload)
-            if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
-                continue
-            classify_blocks(blocks)
-            sequences.append(block_features(blocks))
+        for blocks, X in _iter_labeled_blocks(tdf, context=False):
+            sequences.append(X)
             labels.append(np.array([1.0 if b.label == "content" else 0.0
                                     for b in blocks]))
     return sequences, labels
@@ -169,19 +170,7 @@ def score_label_frame(transcripts: DataFrame,
         for pdf in batches:
             scores: list[float] = []
             labels: list[int] = []
-            texts = pdf["text"] if "text" in pdf else [""] * len(pdf)
-            tools = pdf["tool"] if "tool" in pdf else [""] * len(pdf)
-            for text, tool in zip(texts, tools):
-                payload = tool if isinstance(tool, str) and tool else (text or "")
-                if not isinstance(payload, str) or len(payload.strip()) < 20:
-                    continue
-                blocks = segment_payload(payload)
-                if not blocks or len(blocks) > DEFAULT_CONFIG.max_blocks:
-                    continue
-                classify_blocks(blocks)  # rule labels (ground truth)
-                X = block_features(blocks)
-                if context:
-                    X = context_features(X)
+            for blocks, X in _iter_labeled_blocks(pdf, context):
                 sc = logistic_scores(X, weights, bias)
                 for b, s in zip(blocks, sc):
                     if b.label == "noise":

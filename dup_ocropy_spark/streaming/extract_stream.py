@@ -105,21 +105,27 @@ STREAM_ROWS_PER_BAND = 2
 NEAR_DEDUP_MIN_CHARS = 64
 
 
-def _stream_band_keys(payload):
-    """Per-row minhash band keys as pure JVM array expressions — no
-    aggregation, so they are computable inside a streaming select:
-    shingle positions -> substrings -> per-seed xxhash64 min -> band key.
-    The final window position is always included so the payload TAIL is
-    covered (a bare stride sequence decides length-21..29 payloads
-    entirely by their first 20 chars)."""
+def _stream_shingles(payload):
+    """Per-row shingle array (JVM, no aggregation): stride positions with
+    the final window always included, so the payload TAIL is covered (a
+    bare stride sequence decides length-21..29 payloads entirely by their
+    first 20 chars). Mirrors batch ``shingles_of``."""
     from dup_ocropy_spark.operators.dedup import SHINGLE_LEN, SHINGLE_STRIDE
 
     last = F.greatest(F.length(payload) - F.lit(SHINGLE_LEN - 1), F.lit(1))
     positions = F.array_distinct(F.concat(
         F.sequence(F.lit(1), last, F.lit(SHINGLE_STRIDE)),
         F.array(last)))
-    shingles = F.transform(positions,
-                           lambda p: F.substring(payload, p, F.lit(SHINGLE_LEN)))
+    return F.transform(positions,
+                       lambda p: F.substring(payload, p, F.lit(SHINGLE_LEN)))
+
+
+def _stream_band_keys(payload, shingles):
+    """Band keys from a MATERIALIZED shingle-array column (pass
+    ``F.col(...)``, not the raw `_stream_shingles` expression — embedding
+    the substring tree in all 8 min subtrees would rebuild it per seed):
+    per-seed xxhash64 min over the shingles -> per-band key, with the
+    short-payload exact-fingerprint fallback."""
     mins = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
             for k in range(STREAM_BANDS * STREAM_ROWS_PER_BAND)]
     is_short = F.length(payload) < NEAR_DEDUP_MIN_CHARS
@@ -149,8 +155,10 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     """
     cols, payload = _payload_and_cols(stream)
     norm = F.lower(F.trim(F.regexp_replace(payload, r"\s+", " ")))
-    keys = _stream_band_keys(norm)
-    out = stream.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])
+    staged = stream.select(*cols, norm.alias("_norm")) \
+        .withColumn("_sh", _stream_shingles(F.col("_norm")))
+    keys = _stream_band_keys(F.col("_norm"), F.col("_sh"))
+    out = staged.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])
     out = out.withWatermark("ts", watermark)
     for b in range(STREAM_BANDS):
         out = out.dropDuplicatesWithinWatermark([f"band{b}"])

@@ -28,6 +28,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
@@ -72,8 +73,6 @@ def main(argv: list[str]) -> int:
     else:
         # bounded mode: keep draining until no new data has arrived for
         # --timeout-sec (drains reset the idle window), then stop cleanly
-        import time
-
         deadline = time.time() + args.timeout_sec
         while time.time() < deadline:
             before = (q.lastProgress or {}).get("batchId", -1)
@@ -83,9 +82,11 @@ def main(argv: list[str]) -> int:
                 deadline = time.time() + args.timeout_sec
             time.sleep(min(0.5, max(args.timeout_sec / 4, 0.05)))
         q.stop()
+    from pyspark.errors import AnalysisException
+
     try:
         n = spark.read.parquet(args.output).count()
-    except Exception:  # no input files arrived -> sink dir has no parquet
+    except AnalysisException:  # no input arrived -> sink dir has no parquet
         n = 0
     print(json.dumps({"rows": n, "dedup": args.dedup}))
     return 0

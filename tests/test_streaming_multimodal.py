@@ -219,7 +219,7 @@ def test_stream_band_keys_match_batch_minhash(spark):
 
     from dup_ocropy_spark.operators.dedup import minhash_signatures, shingles_of
     from dup_ocropy_spark.streaming.extract_stream import (
-        STREAM_BANDS, _stream_band_keys,
+        STREAM_BANDS, _stream_band_keys, _stream_shingles,
     )
 
     text = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
@@ -227,9 +227,10 @@ def test_stream_band_keys_match_batch_minhash(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     batch = {r.band: r.band_key
              for r in minhash_signatures(shingles_of(docs)).collect()}
-    keys = _stream_band_keys(F.col("text"))
-    stream_row = docs.select(*[k.alias(f"b{b}")
-                               for b, k in enumerate(keys)]).collect()[0]
+    staged = docs.withColumn("_sh", _stream_shingles(F.col("text")))
+    keys = _stream_band_keys(F.col("text"), F.col("_sh"))
+    stream_row = staged.select(*[k.alias(f"b{b}")
+                                 for b, k in enumerate(keys)]).collect()[0]
     for b in range(STREAM_BANDS):
         assert stream_row[f"b{b}"] == batch[b], b
 
