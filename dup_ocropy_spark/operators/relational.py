@@ -472,7 +472,11 @@ def a5_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_pairs
     FROM ({_PAIRS_SQL}) GROUP BY source
     """,
-    doc="error-rate reduce: sum(err)/sum(len) (ocropus-errs:36-66)",
+    doc="error-rate reduce: sum(err)/sum(len) (ocropus-errs:36-66). "
+        "Dialect note: DuckDB levenshtein counts BYTES, Spark counts "
+        "codepoints (= the reference's Python edist) — the twin matches on "
+        "ASCII corpora (the driver's); non-ASCII authority is "
+        "kernels/edist, golden-tested",
 )
 def a3_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_doc_pairs(spark, sf_dir)

@@ -19,8 +19,23 @@ from dup_ocropy_spark.operators.registry import REGISTRY
 
 _ops.load_all()
 
-QUERIES = ("extract_documents", "extract_documents_html", "t1_textnorm_family",
-           "extract_documents_classified")
+# every oracle-checked query that reads ONLY the documents table runs on
+# the homograph corpus — engine parity must not depend on a tame corpus.
+# EXCLUDED: a3_error_rate / a5_error_report — DuckDB `levenshtein` counts
+# BYTES ('µ'->'u' = 2, '“'->'"' = 3) while Spark counts codepoints
+# (matching the reference's Python edist); the divergence is inherent to
+# the oracle dialect, measured here, and documented in the query docs.
+# Their driver rows remain valid (the driver corpus is ASCII), and the
+# codepoint-correct path is pinned by kernels/edist goldens.
+QUERIES = (
+    "dedup_exact", "dedup_ngram_jaccard",
+    "extract_documents", "extract_documents_classified",
+    "extract_documents_html", "extract_documents_spans", "g1_estimate_scale",
+    "g2_boxmap_band", "h3_font_size_estimate", "j1_missing_accounting",
+    "lang_id_heuristic", "length_profile", "p1_p8_gates",
+    "p6_select_regions_topk", "quality_score", "t1_textnorm_family",
+    "token_counts",
+)
 
 
 @pytest.fixture(scope="module")
@@ -62,6 +77,24 @@ def test_oracle_parity_with_special_chars(spark, special_dir, name):
         assert _dtype_family(a[c]) == _dtype_family(b[c]), (name, c)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-8, obj=name)
+
+
+def test_levenshtein_dialect_divergence_is_understood(spark):
+    """Pin the measured engine divergence that excludes a3/a5 above:
+    DuckDB levenshtein is byte-based, Spark (like the reference's Python
+    edist) is codepoint-based. If DuckDB ever switches to codepoints this
+    test fails and a3/a5 should rejoin QUERIES."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.kernels.edist import levenshtein as kernel_lev
+
+    a, b = "5µm “x”", '5um "x"'
+    spark_lev = (spark.createDataFrame([(a, b)], "a string, b string")
+                 .select(F.levenshtein("a", "b").alias("lev")).collect()[0].lev)
+    duck_lev = duckdb.sql(
+        "SELECT levenshtein('5µm “x”', '5um \"x\"')").fetchone()[0]
+    assert spark_lev == kernel_lev(a, b) == 3   # codepoints: µ, “, ”
+    assert duck_lev == 8                        # bytes: 2 + 3 + 3
 
 
 def test_t1_probe_covers_full_homograph_table():
