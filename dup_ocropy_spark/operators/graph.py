@@ -86,4 +86,6 @@ def topsort(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
         (F.sum("_n").over(W.orderBy("_pid")) - F.col("_n")).alias("_off"))
     return (local.join(F.broadcast(offsets), "_pid")
             .select("node", "level",
-                    (F.col("_lr") + F.col("_off")).cast("int").alias("rank")))
+                    # bigint: an int rank would overflow past 2^31 nodes,
+                    # exactly the scale this rank scheme exists for
+                    (F.col("_lr") + F.col("_off")).cast("bigint").alias("rank")))
