@@ -102,9 +102,14 @@ def block_training_frame(transcripts: DataFrame, context: bool = False) -> DataF
 
 
 def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
-                 lr: float = 0.5, seed: int = 42,
-                 context: bool = False) -> tuple[np.ndarray, float]:
-    """Deterministic full-batch gradient descent on a bounded sample."""
+                 lr: float = 0.5, seed: int = 42, context: bool = False,
+                 curve: list | None = None) -> tuple[np.ndarray, float]:
+    """Deterministic full-batch gradient descent on a bounded sample.
+
+    Pass a list as ``curve`` to receive per-epoch (log_loss, error_rate)
+    tuples — the reference's training-error curve (A7,
+    ``ocropus-rtrain:277-330`` prints err per round; see
+    ``training_curve_frame`` for the smoothed MovingStats view)."""
     pdf = features.limit(sample).toPandas()
     X = pdf[list(_feature_names(context))].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
@@ -121,11 +126,32 @@ def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
         z = Xs @ w + b
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y
+        if curve is not None:
+            eps = 1e-12
+            loss = float(-(y * np.log(p + eps)
+                           + (1 - y) * np.log(1 - p + eps)).mean())
+            curve.append((loss, float(((p >= 0.5) != (y == 1)).mean())))
         w -= lr * (Xs.T @ g) / n
         b -= lr * g.mean()
     w_raw = w / sd
     b_raw = b - float((w * mu / sd).sum())
     return w_raw, b_raw
+
+
+def training_curve_frame(spark, curve: list) -> DataFrame:
+    """Per-epoch training curve with the A6 MovingStats smoothing window
+    (the reference plots a moving average of recent per-sample errors;
+    here a 10-epoch trailing mean over the recorded curve)."""
+    from pyspark.sql import Window as W, functions as F
+
+    df = spark.createDataFrame(
+        [(i, loss, err) for i, (loss, err) in enumerate(curve)],
+        "epoch int, log_loss double, error_rate double")
+    w = W.orderBy("epoch").rowsBetween(-9, 0)
+    return df.select(
+        "epoch", F.round("log_loss", 6).alias("log_loss"),
+        F.round("error_rate", 6).alias("error_rate"),
+        F.round(F.avg("error_rate").over(w), 6).alias("error_rate_ma10"))
 
 
 def sequence_training_data(n_convs: int = 60) -> tuple[list[np.ndarray], list[np.ndarray]]:

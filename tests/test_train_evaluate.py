@@ -68,6 +68,26 @@ def test_classified_margin_guard(spark):
     assert n_near == 0, f"{n_near} docs within the decision-flip band"
 
 
+def test_training_curve_records_and_smooths(spark, train_convs):
+    """A7: fit_logistic records a per-epoch (log_loss, error_rate) curve
+    that demonstrably converges, and training_curve_frame adds the A6
+    MovingStats trailing-mean smoothing."""
+    from dup_ocropy_spark.operators.train import (
+        block_training_frame, fit_logistic, training_curve_frame,
+    )
+
+    curve: list = []
+    fit_logistic(block_training_frame(train_convs), epochs=50, curve=curve)
+    assert len(curve) == 50
+    assert curve[-1][0] < curve[0][0]      # log-loss decreases
+    assert curve[-1][1] <= curve[0][1]     # error rate does not regress
+    pdf = training_curve_frame(spark, curve).toPandas()
+    assert list(pdf["epoch"]) == list(range(50))
+    assert pdf["error_rate_ma10"].notna().all()
+    # the smoothed curve ends at (or below) its start too
+    assert pdf["error_rate_ma10"].iloc[-1] <= pdf["error_rate_ma10"].iloc[0]
+
+
 def test_calibrate_threshold_distributed(spark, train_convs):
     """N4 analog: the decision threshold estimated from the corpus score
     distribution must (a) reach the rule-label agreement of the best grid
