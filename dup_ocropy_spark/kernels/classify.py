@@ -19,6 +19,8 @@ states at ``ocrolib/lstm.py:8-12``.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
@@ -41,6 +43,10 @@ FEATURE_NAMES = (
 # one-pass C-level character-class counters (regex-free hot path)
 _PUNCT_DELETE = str.maketrans("", "", ".,;:!?")
 _DIGIT_DELETE = str.maketrans("", "", "0123456789")
+# presence guards: most blocks contain no digits (and many no sentence
+# punctuation), so one C-level scan skips the translate-copy entirely
+_PUNCT_RE = _re.compile(r"[.,;:!?]")
+_DIGIT_RE = _re.compile(r"[0-9]")
 _HEADING_KINDS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6", "title"))
 
 
@@ -65,8 +71,10 @@ def block_features(blocks: list[Block]) -> np.ndarray:
         X[i, 1] = b.link_density
         X[i, 2] = 1.0 if b.boiler else 0.0
         X[i, 3] = nstop / nw
-        X[i, 4] = (nt - len(text.translate(_PUNCT_DELETE))) / nw
-        X[i, 5] = (nt - len(text.translate(_DIGIT_DELETE))) / nv
+        X[i, 4] = ((nt - len(text.translate(_PUNCT_DELETE))) / nw
+                   if _PUNCT_RE.search(text) else 0.0)
+        X[i, 5] = ((nt - len(text.translate(_DIGIT_DELETE))) / nv
+                   if _DIGIT_RE.search(text) else 0.0)
         # sum(word lengths) == stripped length minus inter-word whitespace
         X[i, 6] = sum(map(len, words)) / nw if words else 0.0
         X[i, 7] = 1.0 if b.kind in _HEADING_KINDS else 0.0
@@ -93,10 +101,19 @@ LOGISTIC_BIAS = -2.2
 
 def logistic_scores(X: np.ndarray, weights: np.ndarray | None = None,
                     bias: float | None = None) -> np.ndarray:
-    """Sigmoid(X @ w + b) — the Logreg layer (L7)."""
+    """Sigmoid(X @ w + b) — the Logreg layer (L7).
+
+    The dot product accumulates per-feature terms in fixed column order
+    (not BLAS gemv, whose summation order varies with matrix shape), so a
+    block scores bit-identically whether classified alone or inside an
+    arbitrarily large batch — required for classify_blocks_many to be
+    exactly equal to per-document classification."""
     w = LOGISTIC_WEIGHTS if weights is None else weights
     b = LOGISTIC_BIAS if bias is None else bias
-    z = X @ w + b
+    z = X[:, 0] * w[0]
+    for j in range(1, X.shape[1]):
+        z += X[:, j] * w[j]
+    z += b
     return 1.0 / (1.0 + np.exp(-z))
 
 
@@ -167,6 +184,13 @@ def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
             if weights is None:
                 weights, bias = CTX_WEIGHTS, LOGISTIC_BIAS
         scores = logistic_scores(X, weights, bias)
+    _label_blocks(blocks, scores, config)
+    return blocks
+
+
+def _label_blocks(blocks: list[Block], scores: np.ndarray,
+                  config: ExtractConfig) -> None:
+    """Apply the L8 decode rule to (block, score) pairs in place."""
     model_mode = config.classifier in ("logistic", "logistic_ctx", "lstm")
     for b, sc in zip(blocks, scores):
         b.score = float(sc)
@@ -181,4 +205,31 @@ def classify_blocks(blocks: list[Block], config: ExtractConfig = DEFAULT_CONFIG,
                 b.label = "boilerplate"
             else:
                 b.label = "content"
-    return blocks
+
+
+def classify_blocks_many(doc_blocks: list[list[Block]],
+                         config: ExtractConfig = DEFAULT_CONFIG,
+                         weights: np.ndarray | None = None,
+                         bias: float | None = None) -> list[list[Block]]:
+    """Classify every document's blocks in one flat feature/score pass.
+
+    Bit-identical to calling ``classify_blocks`` per document (asserted in
+    test_kernels): features are per-block and ``logistic_scores`` is
+    shape-independent by construction. Sequence classifiers (logistic_ctx,
+    lstm) see document-local context, so they keep the per-document path.
+    The win is amortizing the numpy feature-matrix and sigmoid calls over
+    the whole Arrow batch instead of per ~6-block document.
+    """
+    if config.classifier in ("logistic_ctx", "lstm"):
+        for blocks in doc_blocks:
+            classify_blocks(blocks, config, weights, bias)
+        return doc_blocks
+    flat = [b for blocks in doc_blocks for b in blocks]
+    if not flat:
+        return doc_blocks
+    if weights is None and config.weights is not None:
+        weights = np.asarray(config.weights, dtype=np.float64)
+        bias = config.bias
+    scores = logistic_scores(block_features(flat), weights, bias)
+    _label_blocks(flat, scores, config)
+    return doc_blocks

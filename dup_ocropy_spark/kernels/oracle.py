@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
-from dup_ocropy_spark.kernels.classify import classify_blocks
+from dup_ocropy_spark.kernels.classify import classify_blocks, classify_blocks_many
 from dup_ocropy_spark.kernels.reassemble import reassemble
 from dup_ocropy_spark.kernels.segment import segment_payload
 
@@ -37,13 +37,12 @@ EXTRACT_SCHEMA = (
 )
 
 
-def extract_turn(text: str | None, tool: str | None = None,
-                 forced_boundaries: list[int] | None = None,
-                 config: ExtractConfig = DEFAULT_CONFIG) -> dict:
-    """Extract main content from one turn. Never raises on bad input —
-    invalid payloads come back with a ``reject_reason`` (the reference's
-    check_page/check_line gates print-and-skip, ``ocropus-nlbin:186-190``).
-    """
+def _gate_and_segment(text: str | None, tool: str | None,
+                      forced_boundaries: list[int] | None,
+                      config: ExtractConfig) -> tuple[dict, list | None]:
+    """Validation gates + segmentation for one turn. Returns (out, blocks);
+    blocks is None when a gate rejected the payload (out carries the
+    reject_reason)."""
     payload = tool if (tool is not None and tool != "") else (text or "")
     out = {
         "payload_len": len(payload),
@@ -55,22 +54,26 @@ def extract_turn(text: str | None, tool: str | None = None,
     }
     if payload == "":
         out["reject_reason"] = "empty"                     # empty-input guard (P7)
-        return out
+        return out, None
     if payload.strip() == "":
         out["reject_reason"] = "blank"                     # constant-image analog (N1 None)
-        return out
+        return out, None
     if len(payload) < config.min_payload_chars:
         out["reject_reason"] = "too_short"                 # check_line h<20 analog (P3)
-        return out
+        return out, None
     if len(payload) > config.max_payload_chars:
         out["reject_reason"] = "too_long"                  # check_page >10000px analog (P1)
-        return out
+        return out, None
     blocks = segment_payload(payload, forced_boundaries)
     out["n_blocks"] = len(blocks)
     if len(blocks) > config.max_blocks:
         out["reject_reason"] = "too_many_blocks"           # maxlines gate (gpageseg:432-434)
-        return out
-    classify_blocks(blocks, config)
+        return out, None
+    return out, blocks
+
+
+def _finish(out: dict, blocks: list, config: ExtractConfig) -> dict:
+    """Reassembly tail shared by the single-turn and batched paths."""
     extracted, spans = reassemble(blocks, config)
     out["extracted_text"] = extracted
     out["spans"] = spans
@@ -78,12 +81,30 @@ def extract_turn(text: str | None, tool: str | None = None,
     return out
 
 
+def extract_turn(text: str | None, tool: str | None = None,
+                 forced_boundaries: list[int] | None = None,
+                 config: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    """Extract main content from one turn. Never raises on bad input —
+    invalid payloads come back with a ``reject_reason`` (the reference's
+    check_page/check_line gates print-and-skip, ``ocropus-nlbin:186-190``).
+    """
+    out, blocks = _gate_and_segment(text, tool, forced_boundaries, config)
+    if blocks is None:
+        return out
+    classify_blocks(blocks, config)
+    return _finish(out, blocks, config)
+
+
 def extract_frame(pdf: pd.DataFrame, config: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Vectorized-batch extraction over a pandas frame with columns
     (conv_id, turn_idx, role, text, tool[, mask]). Returns EXTRACT_COLUMNS.
 
     This is the Arrow-batch body of the Spark stage; row iteration here is
-    the same per-item loop the reference runs inside each pool worker.
+    the same per-item loop the reference runs inside each pool worker —
+    except classification, which runs once over ALL surviving rows' blocks
+    (``classify_blocks_many``): one feature matrix + one sigmoid per Arrow
+    batch instead of per ~6-block document, bit-identical to the per-turn
+    path because scoring is shape-independent (asserted in test_kernels).
     """
     n = len(pdf)
     texts = pdf["text"].to_numpy(dtype=object) if "text" in pdf else np.array([None] * n, dtype=object)
@@ -97,14 +118,30 @@ def extract_frame(pdf: pd.DataFrame, config: ExtractConfig = DEFAULT_CONFIG) -> 
     et = np.empty(n, dtype=object)
     sp = np.empty(n, dtype=object)
     rr = np.empty(n, dtype=object)
+    # phase 1: gates + segmentation per row; collect survivors for phase 2
+    outs: list[dict] = [None] * n  # type: ignore[list-item]
+    live_idx: list[int] = []
+    live_blocks: list[list] = []
     for i in range(n):
         m = None
         if masks is not None and masks[i] is not None \
                 and not (np.isscalar(masks[i]) and pd.isna(masks[i])):
             m = list(masks[i])
-        r = extract_turn(texts[i] if isinstance(texts[i], str) else None,
-                         tools[i] if isinstance(tools[i], str) else None,
-                         m, config)
+        out, blocks = _gate_and_segment(
+            texts[i] if isinstance(texts[i], str) else None,
+            tools[i] if isinstance(tools[i], str) else None,
+            m, config)
+        outs[i] = out
+        if blocks is not None:
+            live_idx.append(i)
+            live_blocks.append(blocks)
+    # phase 2: one flat classification over the whole batch
+    classify_blocks_many(live_blocks, config)
+    # phase 3: reassembly per surviving row
+    for i, blocks in zip(live_idx, live_blocks):
+        _finish(outs[i], blocks, config)
+    for i in range(n):
+        r = outs[i]
         pl[i] = r["payload_len"]
         nb[i] = r["n_blocks"]
         nc[i] = r["n_content"]

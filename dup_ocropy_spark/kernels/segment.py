@@ -59,9 +59,11 @@ _HAS_MARKUP_RE = re.compile(r"<[a-zA-Z/!][^>]*>")
 # ASCII rule line of 4+ -=_* chars (G6/G7 analog).
 _PLAIN_SEP_RE = re.compile(r"\f+|\n[ \t]*\n(?:[ \t]*\n)*|^[ \t]*[-=_*]{4,}[ \t]*$\n?", re.M)
 _RULE_LINE_RE = re.compile(r"^[-=_* \t]*[-=_*]{4,}[-=_* \t]*$")
+# allocation-free fast-path guard for _add_piece: piece could start a rule line
+_LEAD_RULE_RE = re.compile(r"[ \t]*[-=_*]")
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """A contiguous visible-text run with its raw payload extent."""
 
@@ -150,7 +152,7 @@ class _Assembler:
         # fast path: every separator needs \n, \f, or a whole-piece rule
         # line (^...$ matches piece edges); most inter-tag runs have none
         if ("\n" in text or "\f" in text
-                or text.lstrip(" \t")[:1] in ("-", "=", "_", "*")):
+                or _LEAD_RULE_RE.match(text) is not None):
             last = 0
             for mm in _PLAIN_SEP_RE.finditer(text):
                 self._emit(s + last, s + mm.start(), text[last:mm.start()],
@@ -184,9 +186,10 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
     boiler_stack: list[str] = []
 
     for m in _TAG_RE.finditer(payload):
+        closing_s, name, selfclose_s = m.group(1, 2, 4)
         if raw_until is not None:
             # inside a raw-text element: only the matching close tag ends it
-            if m.group(1) == "/" and (m.group(2) or "").lower() == raw_until:
+            if closing_s == "/" and (name or "").lower() == raw_until:
                 if raw_until in boiler_stack:
                     boiler_stack.remove(raw_until)
                 raw_until = None
@@ -194,14 +197,15 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
             continue
         if m.start() > pos:
             asm.add_text(pos, m.start(), a_depth > 0, bool(boiler_stack), kind)
-        name = (m.group(2) or "").lower()
-        closing = m.group(1) == "/"
-        selfclose = m.group(4) == "/"
         if name:
+            name = name.lower()
+            closing = closing_s == "/"
+            selfclose = selfclose_s == "/"
             if name == "a":
                 a_depth = a_depth + 1 if not closing else max(0, a_depth - 1)
             if name in BLOCK_TAGS:
-                asm.flush()
+                if asm.segs:  # skip the call for adjacent block tags
+                    asm.flush()
                 kind = name if not closing else "text"
                 asm.kind = kind
             if name in BOILER_CONTAINERS:

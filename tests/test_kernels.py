@@ -197,3 +197,38 @@ def test_arrow_batch_rows_for_policy():
     assert arrow_batch_rows_for(900_000) == ARROW_BATCH_TARGET_BYTES // 900_000
     assert arrow_batch_rows_for(10_000_000) == 16   # floor
     assert arrow_batch_rows_for(0) == DEFAULT_CONFIG.arrow_batch_rows
+
+
+def test_extract_frame_bitwise_equals_per_turn():
+    """extract_frame batches classification over all rows' blocks
+    (classify_blocks_many); the result must be BIT-identical to the
+    row-at-a-time extract_turn path for every classifier — including the
+    pre-rounding span scores, which is only true because logistic_scores
+    accumulates in fixed column order (shape-independent summation)."""
+    import pandas as pd
+
+    from dup_ocropy_spark.kernels import extract_frame
+    from dup_ocropy_spark.sources.transcripts import synth_conv
+
+    pdf = pd.concat([synth_conv(c)[0] for c in range(12)], ignore_index=True)
+    pdf = pdf[["conv_id", "turn_idx", "role", "text", "tool"]]
+    # edge rows: empty / blank / short / markup-free
+    edge = pd.DataFrame({
+        "conv_id": ["e"] * 4, "turn_idx": [0, 1, 2, 3],
+        "role": ["user"] * 4,
+        "text": ["", "   \n ", "tiny", "plain sentence long enough to pass the gate"],
+        "tool": [None] * 4,
+    })
+    pdf = pd.concat([pdf, edge], ignore_index=True)
+    for clf in ("rule", "logistic", "logistic_ctx"):
+        cfg = ExtractConfig(classifier=clf)
+        got = extract_frame(pdf, cfg)
+        for i in range(len(pdf)):
+            want = extract_turn(
+                pdf.text.iloc[i] if isinstance(pdf.text.iloc[i], str) else None,
+                pdf.tool.iloc[i] if isinstance(pdf.tool.iloc[i], str) else None,
+                config=cfg)
+            assert got.extracted_text.iloc[i] == want["extracted_text"], (clf, i)
+            assert got.spans.iloc[i] == want["spans"], (clf, i)
+            assert got.reject_reason.iloc[i] == want["reject_reason"], (clf, i)
+            assert int(got.n_blocks.iloc[i]) == want["n_blocks"], (clf, i)
