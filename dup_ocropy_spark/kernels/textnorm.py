@@ -72,7 +72,8 @@ def normalize_text(s: str) -> str:
     """
     if s is None:
         return ""
-    s = unicodedata.normalize("NFC", s)
+    if not s.isascii():  # ASCII is NFC-invariant; skip the scan+copy
+        s = unicodedata.normalize("NFC", s)
     # collapse whitespace runs; skip the regex when only single plain
     # spaces are present (the common case)
     if "  " in s or _EXOTIC_WS.search(s) is not None:
