@@ -247,7 +247,9 @@ def _mp_control(procs: int, n_convs: int = 600) -> float:
     os.sched_setaffinity(0, set(range(procs)))
     try:
         frames = [synth_conv(i)[0] for i in range(n_convs)]
-        work = frames * (4 * procs)
+        # x8: after the round-3 kernel speedup (~5.8k turns/s/core) the x4
+        # multiplier gave a ~5s window and a nonsense superlinear control
+        work = frames * (8 * procs)
         n_turns = sum(len(f) for f in work)
         with mp.Pool(procs) as p:
             p.map(_mp_work, frames)  # warm imports in every worker
