@@ -294,7 +294,7 @@ def scaling_run() -> None:
     hist_rows = "\n".join(
         f"| {i + 1} | {h['eff_2_8']} | {h['eff_8_32']} "
         f"| {h.get('mp_eff_2_8', '—')} | {h['mp_eff']} "
-        f"| {h['r2']} | {h['r8']} | {h['r32']} |"
+        f"| {h['r2']} | {h['r8']} | {h['r32']} | {h.get('note', '')} |"
         for i, h in enumerate(history))
     lo28 = min(h["eff_2_8"] for h in history)
     hi28 = max(h["eff_2_8"] for h in history)
@@ -305,8 +305,8 @@ Shared-host microVM: absolute rates vary +-20-30% between executions
 ratios inherit that noise. Every execution is appended to
 BENCH/runs.jsonl; all of them to date:
 
-| run | eff 2->8 | eff 8->32 | control 2->8 | control 8->32 | r2 | r8 | r32 |
-|---|---|---|---|---|---|---|---|
+| run | eff 2->8 | eff 8->32 | control 2->8 | control 8->32 | r2 | r8 | r32 | note |
+|---|---|---|---|---|---|---|---|---|
 {hist_rows}
 
 Primary-pair efficiency spans **{lo28:.3f}-{hi28:.3f}** across
