@@ -33,6 +33,35 @@ def _word_count_sql(expr: str, word: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '\\b{word}\\b'))"
 
 
+def repetition_fractions(t):
+    """(dup_line_frac, dup_word_frac) — Gopher-style repetition signals
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1:
+    docs with a high fraction of duplicate lines / words are boilerplate
+    or degenerate repetition and get filtered before training). Both are
+    ``1 - distinct/total`` over non-empty lines resp. lowercased
+    whitespace words; pure JVM array expressions. The DuckDB twins are
+    REPETITION_SQL below — keep the two in lockstep."""
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    dlf = (F.lit(1.0)
+           - F.size(F.array_distinct(lines)).cast("double") / F.size(lines))
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    dwf = (F.lit(1.0)
+           - F.size(F.array_distinct(words)).cast("double") / F.size(words))
+    return dlf, dwf
+
+
+# DuckDB twins of repetition_fractions (text expr interpolated via {t})
+DUP_LINE_SQL = (
+    "1 - CAST(len(list_distinct(list_filter(string_split({t}, chr(10)), "
+    "x -> length(trim(x)) > 0))) AS DOUBLE) "
+    "/ len(list_filter(string_split({t}, chr(10)), x -> length(trim(x)) > 0))"
+)
+DUP_WORD_SQL = (
+    r"1 - CAST(len(list_distinct(string_split_regex(lower(trim({t})), '\s+')))"
+    r" AS DOUBLE) / len(string_split_regex(lower(trim({t})), '\s+'))"
+)
+
+
 @register(
     "token_counts",
     sql=r"""
@@ -62,8 +91,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=rf"""
     SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
            round(stop_ratio, 6) AS stop_ratio,
+           round(dup_line_frac, 6) AS dup_line_frac,
+           round(dup_word_frac, 6) AS dup_word_frac,
            CASE WHEN n_words >= 10 AND avg_word_len BETWEEN 2 AND 12
-                     AND stop_ratio >= 0.05
+                     AND stop_ratio >= 0.05 AND dup_line_frac <= 0.3
                 THEN 1 ELSE 0 END AS is_quality,
            fp
     FROM (
@@ -74,6 +105,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_word_count_sql('text', 'the')}
                   + {_word_count_sql('text', 'a')} AS DOUBLE)
                / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+             {DUP_LINE_SQL.format(t='text')} AS dup_line_frac,
+             {DUP_WORD_SQL.format(t='text')} AS dup_word_frac,
              md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       FROM documents WHERE length(trim(text)) > 0
     )
@@ -81,6 +114,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="quality scoring: length/word-shape/stopword-ratio gates "
         "(the P1-P3 validation-gate family applied to corpus curation; "
         "stop-word hits are case-folded whole-word regexp counts), "
+        "Gopher-style repetition signals (duplicate-line / duplicate-word "
+        "fractions, Rae et al. 2021 App. A1.1), "
         "plus the normalize-then-md5 document fingerprint (fp) used for "
         "lineage checksums — one frame, one scan",
 )
@@ -90,14 +125,19 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words)
     stop_hits = (_word_count(F.col("text"), "the") + _word_count(F.col("text"), "a"))
     stop_ratio = stop_hits.cast("double") / n_words
+    dlf, dwf = repetition_fractions(F.col("text"))
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     base = d.select("doc_id", n_words.alias("n_words"), awl.alias("awl"),
-                    stop_ratio.alias("sr"), fp.alias("fp"))
+                    stop_ratio.alias("sr"), dlf.alias("dlf"), dwf.alias("dwf"),
+                    fp.alias("fp"))
     is_q = (F.when((F.col("n_words") >= 10) & F.col("awl").between(2, 12)
-                   & (F.col("sr") >= 0.05), 1).otherwise(0))
+                   & (F.col("sr") >= 0.05) & (F.col("dlf") <= 0.3), 1)
+            .otherwise(0))
     return base.select("doc_id", "n_words",
                        F.round("awl", 6).alias("avg_word_len"),
                        F.round("sr", 6).alias("stop_ratio"),
+                       F.round("dlf", 6).alias("dup_line_frac"),
+                       F.round("dwf", 6).alias("dup_word_frac"),
                        is_q.alias("is_quality"), "fp")
 
 

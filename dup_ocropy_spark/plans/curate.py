@@ -23,9 +23,12 @@ from dup_ocropy_spark.plans.extract import conversation_text, extract
 
 
 def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append n_words / avg_word_len / stop_ratio / is_quality (the same
-    arithmetic as the oracle-checked quality_score query)."""
-    from dup_ocropy_spark.operators.textstats import _word_count
+    """Append n_words / avg_word_len / stop_ratio / dup_line_frac /
+    dup_word_frac / is_quality (the same arithmetic as the oracle-checked
+    quality_score query)."""
+    from dup_ocropy_spark.operators.textstats import (
+        _word_count, repetition_fractions,
+    )
 
     t = F.col(text_col)
     n_words = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
@@ -35,13 +38,18 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # systematically under-counted as a curation gate
     stop_ratio = ((_word_count(t, "the") + _word_count(t, "a"))
                   .cast("double") / n_words)
+    dlf, dwf = repetition_fractions(t)
     d = (docs.where(F.length(F.trim(t)) > 0)
          .withColumn("n_words", n_words)
          .withColumn("avg_word_len", F.round(awl, 6))
-         .withColumn("stop_ratio", F.round(stop_ratio, 6)))
+         .withColumn("stop_ratio", F.round(stop_ratio, 6))
+         .withColumn("dup_line_frac", F.round(dlf, 6))
+         .withColumn("dup_word_frac", F.round(dwf, 6)))
     is_q = ((F.col("n_words") >= 10)
             & F.col("avg_word_len").between(2, 12)
-            & (F.col("stop_ratio") >= 0.02))
+            & (F.col("stop_ratio") >= 0.02)
+            # Gopher repetition gate (Rae et al. 2021 App. A1.1)
+            & (F.col("dup_line_frac") <= 0.3))
     return d.withColumn("is_quality", is_q)
 
 

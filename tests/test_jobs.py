@@ -231,3 +231,25 @@ def test_train_job_calibrated_threshold_flows_to_config(spark, transcripts_path,
     cfg = config_with_model(model)
     assert cfg.content_threshold == art["meta"]["content_threshold"]
     assert cfg.classifier == "logistic" and cfg.weights is not None
+
+
+def test_quality_gate_repetition_fractions(spark):
+    """Gopher-style repetition signals (Rae et al. 2021 App. A1.1):
+    a document that is one line repeated must fail the dup_line_frac <=
+    0.3 gate even when length/stopword gates pass; a prose doc with
+    distinct lines passes, and the fractions match hand computation."""
+    from dup_ocropy_spark.plans.curate import quality_columns
+
+    degenerate = "\n".join(["the cat sat on a mat with a hat today fine"] * 10)
+    prose = ("The quick brown fox jumps over a lazy dog near the river.\n"
+             "A second line with the different words entirely for sure.")
+    docs = spark.createDataFrame(
+        [("bad", degenerate), ("good", prose)], "conv_id string, text string")
+    rows = {r.conv_id: r for r in quality_columns(docs).collect()}
+    assert rows["bad"].dup_line_frac == 0.9           # 1 - 1/10
+    assert rows["bad"].is_quality is False
+    assert rows["good"].dup_line_frac == 0.0
+    assert rows["good"].is_quality is True
+    # dup_word_frac: lowercased whitespace words, 1 - distinct/total
+    words = degenerate.lower().split()
+    assert rows["bad"].dup_word_frac == round(1 - len(set(words)) / len(words), 6)
