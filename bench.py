@@ -310,8 +310,9 @@ BENCH/runs.jsonl; all of them to date:
 {hist_rows}
 
 Primary-pair efficiency spans **{lo28:.3f}-{hi28:.3f}** across
-executions — {"every execution meets" if lo28 >= 0.8 else "not every execution meets"}
-the >=0.8 criterion. Executions after the round-3 kernel speedup
+executions; **{sum(1 for h in history if h["eff_2_8"] >= 0.8)} of
+{len(history)}** meet the >=0.8 criterion.
+Executions after the round-3 kernel speedup
 (+27% single-core) sit lower than earlier ones at the SAME engine:
 a faster kernel consumes more memory bandwidth per core, so the
 shared-bus ceiling (SCALE.md section 6) bites at lower core counts —
