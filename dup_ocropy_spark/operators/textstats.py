@@ -62,28 +62,50 @@ DUP_WORD_SQL = (
 )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence in the query
+
+
 @register(
     "token_counts",
-    sql=r"""
-    SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-             AS n_tokens_bpe
-    FROM documents
+    sql=rf"""
+    SELECT doc_id, lang, n_tokens_ws, n_tokens_bpe,
+           start_tok // {PACK_BUDGET} AS seq_id,
+           start_tok % {PACK_BUDGET} AS seq_offset
+    FROM (
+      SELECT doc_id, lang, n_tokens_ws, n_tokens_bpe,
+             CAST(sum(n_tokens_ws) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens_ws AS start_tok
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                 AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 AS n_tokens_bpe
+        FROM documents
+      )
+    )
     """,
     doc="token counting, both tokenizers in one frame: whitespace split "
         "(n_tokens_ws) and BPE-ish word/number/punct pieces via a portable "
-        "regex (n_tokens_bpe; the GPT-2 pretokenizer shape, ASCII-simplified)",
+        "regex (n_tokens_bpe; the GPT-2 pretokenizer shape, ASCII-"
+        "simplified); plus concatenate-and-chunk sequence packing per "
+        "language (seq_id/seq_offset at a 512-token budget, "
+        "operators/packing.py)",
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dup_ocropy_spark.operators.packing import pack_sequences
+
     d = table(spark, sf_dir, "documents")
     ws = (F.when(F.length(F.trim("text")) == 0, 0)
           .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
     bpe = F.size(F.regexp_extract_all(
         "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
-    return d.select("doc_id", ws.cast("bigint").alias("n_tokens_ws"),
+    base = d.select("doc_id", "lang",
+                    ws.cast("bigint").alias("n_tokens_ws"),
                     bpe.cast("bigint").alias("n_tokens_bpe"))
+    return pack_sequences(base, PACK_BUDGET, n_tokens_col="n_tokens_ws",
+                          order_cols=("doc_id",), partition_col="lang")
 
 
 @register(

@@ -1,0 +1,66 @@
+"""Sequence packing (concatenate-and-chunk) — operators/packing.py."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dup_ocropy_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de"][i % 2], (i * 37) % 200 + 1) for i in range(500)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint").persist()
+
+
+def _reference(pdf: pd.DataFrame, budget: int) -> dict[int, tuple[int, int]]:
+    """Single-process packing: concatenate in doc_id order, chunk every
+    `budget` tokens."""
+    out, cum = {}, 0
+    for r in pdf.sort_values("doc_id").itertuples():
+        out[r.doc_id] = (cum // budget, cum % budget)
+        cum += r.n_tokens
+    return out
+
+
+def test_global_packing_matches_reference_any_partitioning(docs):
+    want = _reference(docs.toPandas(), 512)
+    for n_parts in (1, 3, 16):
+        got = {r.doc_id: (r.seq_id, r.seq_offset)
+               for r in pack_sequences(docs.repartition(7), 512,
+                                       num_partitions=n_parts).collect()}
+        assert got == want, f"n_partitions={n_parts}"
+
+
+def test_per_group_packing_is_independent_per_key(docs):
+    got = pack_sequences(docs, 512, partition_col="lang").toPandas()
+    for lang, grp in got.groupby("lang"):
+        want = _reference(grp, 512)
+        for r in grp.itertuples():
+            assert (r.seq_id, r.seq_offset) == want[r.doc_id], (lang, r.doc_id)
+
+
+def test_packing_boundary_semantics(spark):
+    """A doc STARTING exactly at a budget boundary opens the next
+    sequence; a straddling doc keeps the seq_id where its first token
+    lands (concatenate-and-chunk splits it downstream)."""
+    d = spark.createDataFrame(
+        [(0, 512), (1, 100), (2, 500)], "doc_id bigint, n_tokens bigint")
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(d, 512).collect()}
+    assert got == {0: (0, 0), 1: (1, 0), 2: (1, 100)}  # doc2 straddles into seq 2
+
+
+def test_global_packing_has_no_single_partition_doc_exchange(docs):
+    """The scale guard: the only SinglePartition exchange may feed the
+    one-row-per-partition offset cumsum, never the document stream (same
+    assert as topsort's rank)."""
+    plan = pack_sequences(docs, 512, num_partitions=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    single = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
+    assert len(single) <= 1, plan
+    # the document stream goes through a range partitioner instead
+    assert "rangepartitioning" in plan.lower(), plan
