@@ -1,0 +1,65 @@
+"""Deterministic sampling for data mixing and debugging.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and partitionings — a bare ``limit()`` is neither (it takes
+whatever partitions answer first; the round-2 IVF quantizer trained on
+one region of the space exactly this way) — and (b) portable across
+engines so an oracle can check them. Both operators order by a seeded
+hash of the key and cut at n:
+
+* ``deterministic_sample``  — global n (TakeOrderedAndProject: per-
+  partition heaps, no global sort materialization);
+* ``stratified_sample``     — n per stratum (partitioned window), the
+  per-language / per-source quota step of a mixing recipe.
+
+The hash is ``md5(key || ':' || seed)``: a string hash both Spark and
+DuckDB compute identically, so the DuckDB twin is the same ORDER BY
+(xxhash64 would be faster but exists only on the Spark side). The key
+itself is the final tie-break — the repo-wide deterministic-window rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _hash_order(key_col: str, seed: int):
+    return F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                             F.lit(str(seed))))
+
+
+def deterministic_sample(docs: DataFrame, n: int, key_col: str = "doc_id",
+                         seed: int = 42) -> DataFrame:
+    """n rows, stable under any partitioning / run / engine: order by the
+    seeded key hash (uniform over keys), cut at n. Plans as
+    TakeOrderedAndProject — per-partition top-n heaps + driver merge of n
+    rows, never a full sort."""
+    return docs.orderBy(_hash_order(key_col, seed), key_col).limit(n)
+
+
+def stratified_sample(docs: DataFrame, n_per_stratum: int,
+                      stratum_col: str, key_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """n rows PER STRATUM (quota sampling): rank within each stratum by
+    the seeded key hash, keep rank <= n. One shuffle on the stratum key;
+    every stratum ranks in parallel."""
+    w = W.partitionBy(stratum_col).orderBy(_hash_order(key_col, seed), key_col)
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_per_stratum).drop("_rk"))
+
+
+def sample_sql(table: str, n: int, key_col: str = "doc_id",
+               seed: int = 42) -> str:
+    """DuckDB twin of deterministic_sample (identical rows, any engine)."""
+    h = f"md5({key_col} || ':{seed}')"
+    return f"SELECT * FROM {table} ORDER BY {h}, {key_col} LIMIT {n}"
+
+
+def stratified_sample_sql(table: str, n_per_stratum: int, stratum_col: str,
+                          key_col: str = "doc_id", seed: int = 42) -> str:
+    """DuckDB twin of stratified_sample."""
+    h = f"md5({key_col} || ':{seed}')"
+    return (f"SELECT * EXCLUDE (_rk) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {stratum_col} "
+            f"ORDER BY {h}, {key_col}) AS _rk FROM {table}) "
+            f"WHERE _rk <= {n_per_stratum}")
