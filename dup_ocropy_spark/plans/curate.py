@@ -2,8 +2,10 @@
 
     transcripts -> extract (fused kernel stage)
                 -> conversation reassembly (stable turn order, JVM)
-                -> quality gates (length / word-shape / stopword ratio,
-                   the P1-P3 validation-gate family at corpus grain)
+                -> PII redaction (email/IP/phone -> typed tokens, JVM
+                   regexp chain; masked twins then dedup together)
+                -> quality gates (length / word-shape / stopword ratio /
+                   Gopher repetition, the P1-P3 gate family at corpus grain)
                 -> exact dedup keep-first (one shuffle on a text hash)
                 -> near-dup candidate accounting (MinHash+LSH)
 
@@ -56,12 +58,17 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
            salted: bool = False) -> tuple[DataFrame, DataFrame]:
     """-> (curated, stats): curated(conv_id, text, n_turns_with_content,
-    n_words) after quality gates + exact dedup; stats is a 1-row frame
-    accounting for every drop (the reject-report discipline at corpus
-    grain — silent filtering is how training sets rot)."""
+    n_words) after PII redaction + quality gates + exact dedup; stats is
+    a 1-row frame accounting for every drop (the reject-report discipline
+    at corpus grain — silent filtering is how training sets rot)."""
+    from dup_ocropy_spark.operators.redact import redact_pii
+
     conv = conversation_text(extract(transcripts, config, salted=salted))
     docs = conv.select(F.col("conv_id"), F.col("conv_text").alias("text"),
                        "n_turns_with_content")
+    # redact BEFORE quality/dedup: masked docs that differ only in the
+    # PII value dedup together, and the model never sees the identifier
+    docs = redact_pii(docs)
     scored = quality_columns(docs).persist()
     quality = scored.where(F.col("is_quality"))
     # exact dedup keyed on conv_id directly — no surrogate hash, so a
@@ -77,7 +84,8 @@ def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
     near_candidates = minhash_candidates(keyed.select("doc_id", "text"))
     stats = (scored.agg(
         F.count("*").alias("n_convs"),
-        F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("n_quality"))
+        F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("n_quality"),
+        F.sum("n_redacted").alias("n_pii_redacted"))
         .crossJoin(curated.agg(F.count("*").alias("n_after_exact_dedup")))
         .crossJoin(near_candidates.agg(
             F.count("*").alias("n_neardup_candidates"))))

@@ -253,3 +253,28 @@ def test_quality_gate_repetition_fractions(spark):
     # dup_word_frac: lowercased whitespace words, 1 - distinct/total
     words = degenerate.lower().split()
     assert rows["bad"].dup_word_frac == round(1 - len(set(words)) / len(words), 6)
+
+
+def test_curate_redacts_planted_pii(spark):
+    """Planted email/phone in a transcript turn must not survive curation,
+    and the stats line must account for the masked values."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.plans.curate import curate
+    from dup_ocropy_spark.sources.transcripts import synth_transcripts
+
+    base = synth_transcripts(spark, 12)
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact leak.target@example.com or 555-867-5309 for info."))
+    src = base.withColumn(
+        "text", F.when(F.col("turn_idx") == 1, pii).otherwise(F.col("text")))
+    curated, stats = curate(src)
+    rep = stats.collect()[0].asDict()
+    assert rep["n_pii_redacted"] >= 1
+    leaked = curated.where(
+        F.col("text").contains("leak.target@example.com")
+        | F.col("text").contains("555-867-5309")).count()
+    assert leaked == 0
+    masked = curated.where(F.col("text").contains("<EMAIL>")).count()
+    assert masked >= 1
