@@ -1,0 +1,72 @@
+"""Benchmark decontamination: drop training documents that overlap an
+evaluation set.
+
+The standard pretraining hygiene step (GPT-3 App. C / The Pile run
+n-gram overlap against every benchmark): a training document sharing
+enough contiguous word n-grams with any eval document is contaminated
+and must not be trained on, or the benchmark stops measuring
+generalization.
+
+Unlike the dedup family's STRIDED char shingles (which compare whole
+documents and only match when windows align), contamination is about
+CONTAINED overlap at arbitrary offsets, so the unit here is the word
+n-gram at every word position — case-folded, whitespace-split, exactly
+what the published recipes use (GPT-3: 13-gram; default 8 here).
+
+Spark-first shape: the benchmark side is SMALL by construction (eval
+sets are thousands of docs, the corpus is billions), so its distinct
+n-gram set is broadcast and the corpus-side check is a broadcast hash
+join inside the scan stage — zero shuffles of the training corpus except
+the per-doc hit count aggregation on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NGRAM_WORDS = 8
+
+
+def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS) -> DataFrame:
+    """(doc_id, gram): distinct case-folded word n-grams at EVERY word
+    position. Pure JVM array expressions (split / sequence / slice /
+    array_join); ~n_words grams per doc before distinct."""
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    n_starts = F.size(words) - (n - 1)
+    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (d.select("doc_id", F.explode(grams).alias("gram")).distinct())
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  min_ngrams: int = 2, n: int = NGRAM_WORDS) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every training doc: how many of
+    its distinct word n-grams appear anywhere in the benchmark. Both
+    inputs need (doc_id, text)."""
+    bench_grams = F.broadcast(
+        word_ngrams(benchmark.select(F.lit("b").alias("doc_id"), "text"), n)
+        .select("gram").distinct())
+    hits = (word_ngrams(docs.select("doc_id", "text"), n)
+            .join(bench_grams, "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) >= min_ngrams)
+                    .alias("contaminated")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  min_ngrams: int = 2, n: int = NGRAM_WORDS
+                  ) -> tuple[DataFrame, DataFrame]:
+    """-> (clean docs, 1-row stats). The drop is accounted for, never
+    silent (the curation reject-report discipline)."""
+    verdict = contamination(docs, benchmark, min_ngrams, n)
+    clean = (docs.join(verdict.where(~F.col("contaminated"))
+                 .select("doc_id"), "doc_id"))
+    stats = verdict.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("int")).alias("n_contaminated"),
+        F.max("n_hits").alias("max_hits"))
+    return clean, stats
