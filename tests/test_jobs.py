@@ -16,6 +16,7 @@ from dup_ocropy_spark.sources.transcripts import synth_expected, synth_transcrip
 sys.path.insert(0, "/root/repo/jobs")
 
 import curate_job  # noqa: E402
+import decontaminate_job  # noqa: E402
 import dedup_job  # noqa: E402
 import eval_job  # noqa: E402
 import extract_job  # noqa: E402
@@ -278,3 +279,24 @@ def test_curate_redacts_planted_pii(spark):
     assert leaked == 0
     masked = curated.where(F.col("text").contains("<EMAIL>")).count()
     assert masked >= 1
+
+
+def test_decontaminate_job_drops_planted_leak(spark, tmp_path, capsys):
+    """Corpus with one doc verbatim-containing a benchmark question: the
+    job drops exactly that doc and accounts for it."""
+    q = ("which ancient trade route connected the eastern markets to the "
+         "western ports across the mountain passes during winter")
+    bench = spark.createDataFrame([("b0", q)], "doc_id string, text string")
+    docs = spark.createDataFrame([
+        ("c0", "A long treatise about maritime logistics and harbor law."),
+        ("c1", "Quiz dump: " + q + " Answer: the silk road obviously."),
+        ("c2", "Unrelated prose about gardening through the winter months."),
+    ], "doc_id string, text string")
+    bpath, cpath = str(tmp_path / "bench"), str(tmp_path / "corpus")
+    bench.write.parquet(bpath); docs.write.parquet(cpath)
+    rep = _run(decontaminate_job,
+               ["--input", cpath, "--benchmark", bpath,
+                "--output", str(tmp_path / "clean")], capsys)
+    assert rep["n_docs"] == 3 and rep["n_contaminated"] == 1
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r.doc_id for r in clean.collect()} == {"c0", "c2"}
