@@ -48,6 +48,28 @@ def stratified_sample(docs: DataFrame, n_per_stratum: int,
             .where(F.col("_rk") <= n_per_stratum).drop("_rk"))
 
 
+def mixture_sample(docs: DataFrame, total_n: int, weights: dict[str, float],
+                   stratum_col: str, key_col: str = "doc_id",
+                   seed: int = 42) -> DataFrame:
+    """Data-mixing draw: ``total_n`` rows split across strata by target
+    ``weights`` (e.g. ``{"en": 0.7, "de": 0.3}``) — each stratum
+    contributes ``round(total_n * w)`` rows, chosen by the same seeded
+    hash rank as ``stratified_sample``. Strata absent from ``weights``
+    contribute nothing; a stratum smaller than its quota contributes all
+    it has (the caller reads the shortfall off the output counts). One
+    shuffle on the stratum key; the quota lookup is a literal CASE chain,
+    not a join."""
+    quota = None
+    for s, w_ in weights.items():
+        n_s = F.lit(int(round(total_n * w_)))
+        quota = (F.when(F.col(stratum_col) == s, n_s) if quota is None
+                 else quota.when(F.col(stratum_col) == s, n_s))
+    quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
+    w = W.partitionBy(stratum_col).orderBy(_hash_order(key_col, seed), key_col)
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= quota).drop("_rk"))
+
+
 def sample_sql(table: str, n: int, key_col: str = "doc_id",
                seed: int = 42) -> str:
     """DuckDB twin of deterministic_sample (identical rows, any engine)."""

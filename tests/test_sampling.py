@@ -61,3 +61,32 @@ def test_deterministic_sample_plans_as_top_k(docs):
     plan = deterministic_sample(docs, 25) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_sample_hits_target_weights(docs):
+    from dup_ocropy_spark.operators.sampling import mixture_sample
+
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    a, b = sorted(langs)[:2]
+    got = mixture_sample(docs, 20, {a: 0.75, b: 0.25}, "lang", seed=3).toPandas()
+    counts = got.groupby("lang").size().to_dict()
+    assert counts.get(a, 0) == 15
+    assert counts.get(b, 0) == 5
+    # strata without a weight contribute nothing
+    assert set(counts) <= {a, b}
+    # deterministic: same seed, different partitioning, same rows
+    again = mixture_sample(docs.repartition(11), 20, {a: 0.75, b: 0.25},
+                           "lang", seed=3).toPandas()
+    assert set(got.doc_id) == set(again.doc_id)
+
+
+def test_mixture_sample_shortfall_is_visible(spark):
+    from dup_ocropy_spark.operators.sampling import mixture_sample
+
+    d = spark.createDataFrame(
+        [(i, "en" if i < 3 else "de") for i in range(20)],
+        "doc_id bigint, lang string")
+    got = mixture_sample(d, 10, {"en": 0.5, "de": 0.5}, "lang").toPandas()
+    counts = got.groupby("lang").size().to_dict()
+    assert counts["en"] == 3   # only 3 exist: shortfall, not an error
+    assert counts["de"] == 5
