@@ -110,6 +110,9 @@ def logistic_scores(X: np.ndarray, weights: np.ndarray | None = None,
     exactly equal to per-document classification."""
     w = LOGISTIC_WEIGHTS if weights is None else weights
     b = LOGISTIC_BIAS if bias is None else bias
+    if len(w) != X.shape[1]:  # the old BLAS `X @ w` raised on mismatch;
+        # the explicit loop would silently truncate — keep the loud error
+        raise ValueError(f"weights length {len(w)} != n_features {X.shape[1]}")
     z = X[:, 0] * w[0]
     for j in range(1, X.shape[1]):
         z += X[:, j] * w[j]

@@ -31,12 +31,17 @@ def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS) -> DataFrame:
     """(doc_id, gram): distinct case-folded word n-grams at EVERY word
     position. Pure JVM array expressions (split / sequence / slice /
     array_join); ~n_words grams per doc before distinct."""
-    words = F.split(F.lower(F.trim("text")), r"\s+")
+    # filter empties instead of trim: F.trim strips only spaces, so a
+    # leading \n/\t would otherwise inject an empty first "word" and a
+    # malformed n-gram covering n-1 real words
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     n_starts = F.size(words) - (n - 1)
     starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
         .otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return (d.select("doc_id", F.explode(grams).alias("gram")).distinct())
+    # per-doc dedupe with array_distinct BEFORE the explode: a row-level
+    # .distinct() here would shuffle every exploded n-gram of the corpus
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def contamination(docs: DataFrame, benchmark: DataFrame,
@@ -61,8 +66,14 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   min_ngrams: int = 2, n: int = NGRAM_WORDS
                   ) -> tuple[DataFrame, DataFrame]:
     """-> (clean docs, 1-row stats). The drop is accounted for, never
-    silent (the curation reject-report discipline)."""
-    verdict = contamination(docs, benchmark, min_ngrams, n)
+    silent (the curation reject-report discipline).
+
+    The verdict is persisted — clean and stats both consume it, and
+    without the persist the corpus-wide n-gram scan would execute once
+    per consumer. Callers that materialize both should release it
+    (``spark.catalog.clearCache()``, as jobs/decontaminate_job.py does —
+    the repo-wide caching policy from operators/dedup.py)."""
+    verdict = contamination(docs, benchmark, min_ngrams, n).persist()
     clean = (docs.join(verdict.where(~F.col("contaminated"))
                  .select("doc_id"), "doc_id"))
     stats = verdict.agg(

@@ -59,9 +59,11 @@ def lm_scores(docs: DataFrame, table: np.ndarray,
     def _score(batches):
         for pdf in batches:
             pdf = pdf.copy()
+            # empty text -> None (not NaN: Spark sorts NaN ABOVE every
+            # double, so a NaN would sail over any percentile cut)
             pdf["lm_logprob"] = [
-                round(charlm.avg_logprob(t, L), 6) if isinstance(t, str)
-                else None
+                round(charlm.avg_logprob(t, L), 6)
+                if isinstance(t, str) and t else None
                 for t in pdf[text_col]]
             yield pdf
 
@@ -75,13 +77,21 @@ def perplexity_filter(docs: DataFrame, table: np.ndarray,
                       keep_fraction: float = 0.9,
                       text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Drop the worst-(1-keep_fraction) perplexity tail. -> (clean docs
-    with lm_logprob, 1-row stats) — the drop is accounted, never silent."""
+    with lm_logprob, 1-row stats) — the drop is accounted, never silent:
+    unscorable docs (null/empty text -> null lm_logprob) are DROPPED and
+    COUNTED, so n_docs == kept + n_dropped always.
+
+    ``scored`` is persisted for the cut/clean/stats consumers; callers
+    that materialize the outputs should ``spark.catalog.clearCache()``
+    (the repo-wide caching policy from operators/dedup.py)."""
     scored = lm_scores(docs, table, text_col).persist()
     cut = scored.agg(F.percentile_approx(
         "lm_logprob", 1.0 - keep_fraction).alias("c")).collect()[0].c
-    clean = scored.where(F.col("lm_logprob") >= cut)
+    keep = (F.lit(False) if cut is None  # every doc unscorable
+            else F.col("lm_logprob").isNotNull() & (F.col("lm_logprob") >= cut))
+    clean = scored.where(keep)
     stats = scored.agg(
         F.count("*").alias("n_docs"),
-        F.sum((F.col("lm_logprob") < cut).cast("int")).alias("n_dropped"),
+        F.sum((~keep).cast("int")).alias("n_dropped"),
         F.round(F.lit(cut), 6).alias("logprob_cut"))
     return clean, stats

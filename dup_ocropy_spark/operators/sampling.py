@@ -53,15 +53,23 @@ def mixture_sample(docs: DataFrame, total_n: int, weights: dict[str, float],
                    seed: int = 42) -> DataFrame:
     """Data-mixing draw: ``total_n`` rows split across strata by target
     ``weights`` (e.g. ``{"en": 0.7, "de": 0.3}``) — each stratum
-    contributes ``round(total_n * w)`` rows, chosen by the same seeded
-    hash rank as ``stratified_sample``. Strata absent from ``weights``
-    contribute nothing; a stratum smaller than its quota contributes all
-    it has (the caller reads the shortfall off the output counts). One
-    shuffle on the stratum key; the quota lookup is a literal CASE chain,
-    not a join."""
+    contributes its largest-remainder share (quotas sum EXACTLY to
+    ``total_n`` — naive ``round(total_n * w)`` per stratum under-fills:
+    four 0.25 weights of 10 would banker's-round to 2+2+2+2=8), chosen
+    by the same seeded hash rank as ``stratified_sample``. Strata absent
+    from ``weights`` contribute nothing; a stratum smaller than its
+    quota contributes all it has (the caller reads the shortfall off the
+    output counts). One shuffle on the stratum key; the quota lookup is
+    a literal CASE chain, not a join."""
+    floors = {s: int(total_n * w_) for s, w_ in weights.items()}
+    rem = total_n - sum(floors.values())
+    by_remainder = sorted(  # stratum name as deterministic tie-break
+        weights, key=lambda s: (floors[s] - total_n * weights[s], s))
+    for s in by_remainder[:rem]:
+        floors[s] += 1
     quota = None
-    for s, w_ in weights.items():
-        n_s = F.lit(int(round(total_n * w_)))
+    for s, n_s_ in floors.items():
+        n_s = F.lit(n_s_)
         quota = (F.when(F.col(stratum_col) == s, n_s) if quota is None
                  else quota.when(F.col(stratum_col) == s, n_s))
     quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)

@@ -43,6 +43,8 @@ def main(argv: list[str]) -> int:
     clean, stats = decontaminate(docs, bench, args.min_ngrams, args.ngram_words)
     clean.write.mode("overwrite").parquet(args.output)
     rep = stats.collect()[0].asDict()
+    # both consumers of the persisted verdict are materialized — release
+    spark.catalog.clearCache()
     rep["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(rep))
     return 0

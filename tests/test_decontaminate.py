@@ -70,3 +70,31 @@ def test_threshold_tunes_sensitivity(spark):
     lax = contamination(doc, bench, min_ngrams=2).collect()[0]
     assert strict.n_hits == 1 and strict.contaminated
     assert not lax.contaminated
+
+
+def test_leading_exotic_whitespace_makes_no_phantom_words(spark):
+    """A leading newline/tab must not inject an empty 'word': an n-gram
+    must always span n real words (F.trim strips only spaces — the split
+    output is filtered instead)."""
+    d = spark.createDataFrame(
+        [("d", "\nalpha beta gamma")], "doc_id string, text string")
+    got = {r.gram for r in word_ngrams(d, n=3).collect()}
+    assert got == {"alpha beta gamma"}
+
+
+def test_corpus_ngrams_dedupe_without_a_shuffle(frames):
+    """Per-doc gram dedupe must be array_distinct before the explode —
+    a row-level distinct() would exchange every exploded n-gram of the
+    100 TB side."""
+    docs, bench = frames
+    plan = contamination(docs, bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # AQE appends an "== Initial Plan ==" copy — examine the live plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    # the only gram exchange allowed is the BENCHMARK-side distinct (a
+    # tiny relation, printed inside the BroadcastExchange subtree)
+    gram_exchanges = plan.count("hashpartitioning(gram")
+    assert gram_exchanges <= 1, plan
+    if gram_exchanges:
+        assert plan.index("BroadcastExchange") \
+            < plan.index("hashpartitioning(gram"), plan

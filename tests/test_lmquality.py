@@ -60,3 +60,17 @@ def test_perplexity_filter_drops_the_noise_tail(corpus):
     assert 1 <= s.n_dropped <= 5
     # every gibberish doc is in the dropped tail before any prose doc
     assert clean.where(F.col("doc_id") >= 100).count() == 0
+
+
+def test_unscorable_docs_are_dropped_and_accounted(spark, corpus):
+    """Empty/null text cannot be scored: such docs must be DROPPED and
+    COUNTED (n_docs == kept + n_dropped), never kept (NaN would sort
+    above any cut) or silently vanished (null comparison)."""
+    table = fit_char_lm(corpus, sample=32, seed=5)
+    bad = spark.createDataFrame(
+        [(900, ""), (901, None)], "doc_id bigint, text string")
+    clean, stats = perplexity_filter(corpus.unionByName(bad), table)
+    s = stats.collect()[0]
+    assert s.n_docs == 46
+    assert s.n_docs == clean.count() + s.n_dropped
+    assert clean.where(F.col("doc_id") >= 900).count() == 0

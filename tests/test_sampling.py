@@ -90,3 +90,17 @@ def test_mixture_sample_shortfall_is_visible(spark):
     counts = got.groupby("lang").size().to_dict()
     assert counts["en"] == 3   # only 3 exist: shortfall, not an error
     assert counts["de"] == 5
+
+
+def test_mixture_quotas_sum_exactly_via_largest_remainder(spark):
+    """Four 0.25 weights of 10 must yield 10 rows, not the 8 that
+    per-stratum banker's rounding (int(round(2.5))=2) produces."""
+    from dup_ocropy_spark.operators.sampling import mixture_sample
+
+    d = spark.createDataFrame(
+        [(i, ["en", "de", "fr", "es"][i % 4]) for i in range(40)],
+        "doc_id bigint, lang string")
+    got = mixture_sample(d, 10, {l: 0.25 for l in ("en", "de", "fr", "es")},
+                         "lang").toPandas()
+    assert len(got) == 10
+    assert sorted(got.groupby("lang").size()) == [2, 2, 3, 3]
