@@ -195,6 +195,36 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(DEFAULT_CONFIG.arrow_batch_rows))
 
+    # round-3 curation operators over the documents table: benchmark
+    # decontamination (broadcast n-gram overlap) and LM-perplexity
+    # scoring (fit on a seeded sample + Arrow-batch scoring)
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.decontaminate import decontaminate
+    from dup_ocropy_spark.operators.lmquality import fit_char_lm, lm_scores
+
+    bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    from dup_ocropy_spark.operators.sampling import deterministic_sample
+
+    # a 50-doc "benchmark" drawn from the corpus itself: realistic
+    # broadcast size, guaranteed hits to aggregate (seeded, never bare limit)
+    bench_eval = deterministic_sample(bench_docs, 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+
+    def decon() -> float:
+        t0 = time.time()
+        clean, _ = decontaminate(bench_docs, bench_eval)
+        clean.write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        return time.time() - t0
+
+    queries["decontaminate"] = round(min(decon() for _ in range(3)), 3)
+
+    lm_table = fit_char_lm(bench_docs, sample=2048)
+    queries["lm_score"] = round(
+        min(timed_noop(lm_scores(bench_docs, lm_table)) for _ in range(3)), 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "extract+operator suite wall time",
