@@ -27,10 +27,13 @@ from pyspark.sql import DataFrame, functions as F
 NGRAM_WORDS = 8
 
 
-def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS) -> DataFrame:
+def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS,
+                hashed: bool = False) -> DataFrame:
     """(doc_id, gram): distinct case-folded word n-grams at EVERY word
     position. Pure JVM array expressions (split / sequence / slice /
-    array_join); ~n_words grams per doc before distinct."""
+    array_join); ~n_words grams per doc before distinct. With
+    ``hashed=True`` each gram is xxhash64'd to an int64 (what
+    ``contamination`` joins on — 8-byte keys instead of strings)."""
     # filter empties instead of trim: F.trim strips only spaces, so a
     # leading \n/\t would otherwise inject an empty first "word" and a
     # malformed n-gram covering n-1 real words
@@ -38,7 +41,18 @@ def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS) -> DataFrame:
     n_starts = F.size(words) - (n - 1)
     starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
         .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+    # with hashed=True each gram becomes an int64 INSIDE the transform.
+    # Local wall is unchanged (gram construction dominates), but the
+    # broadcast hash relation holds 8-byte longs instead of ~n*6-byte
+    # strings — ~6x smaller per key, which is what bounds the executor
+    # memory when the eval side is a full benchmark battery rather than
+    # this repo's test fixtures. (A 2^-64 collision adds one phantom hit
+    # to a thresholded count — the standard trade for n-gram membership.)
+    def _gram(i):
+        g = F.array_join(F.slice(words, i, n), " ")
+        return F.xxhash64(g) if hashed else g
+
+    grams = F.transform(starts, _gram)
     # per-doc dedupe with array_distinct BEFORE the explode: a row-level
     # .distinct() here would shuffle every exploded n-gram of the corpus
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
@@ -50,9 +64,10 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     its distinct word n-grams appear anywhere in the benchmark. Both
     inputs need (doc_id, text)."""
     bench_grams = F.broadcast(
-        word_ngrams(benchmark.select(F.lit("b").alias("doc_id"), "text"), n)
+        word_ngrams(benchmark.select(F.lit("b").alias("doc_id"), "text"), n,
+                    hashed=True)
         .select("gram").distinct())
-    hits = (word_ngrams(docs.select("doc_id", "text"), n)
+    hits = (word_ngrams(docs.select("doc_id", "text"), n, hashed=True)
             .join(bench_grams, "gram")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     return (docs.select("doc_id").join(hits, "doc_id", "left")
