@@ -64,3 +64,31 @@ def test_global_packing_has_no_single_partition_doc_exchange(docs):
     assert len(single) <= 1, plan
     # the document stream goes through a range partitioner instead
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_write_packed_shards_stream_order(spark, docs, tmp_path):
+    """Shards must partition the seq_id space without overlap and each
+    file must replay (seq_id, seq_offset) in order — a dataloader reads
+    the concatenated stream with sequential scans only."""
+    import glob
+    import pandas as pd
+
+    from dup_ocropy_spark.plans.shard import write_packed_shards
+
+    packed = pack_sequences(docs, 512, num_partitions=4)
+    out = str(tmp_path / "shards")
+    write_packed_shards(packed, out, rows_per_shard=40, num_shards=3)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 3  # range split x maxRecordsPerFile
+    ranges = []
+    for f in files:
+        pdf = pd.read_parquet(f)
+        key = list(zip(pdf.seq_id, pdf.seq_offset))
+        assert key == sorted(key), f  # in-file stream order
+        ranges.append((min(key), max(key), len(pdf)))
+    # files cover the space without key-range overlap (sorted by min)
+    ranges.sort()
+    for (lo1, hi1, _), (lo2, _, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # nothing lost or duplicated
+    assert sum(r[2] for r in ranges) == docs.count()
