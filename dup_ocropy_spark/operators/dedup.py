@@ -347,3 +347,32 @@ def simhash_pairs_from(sig: DataFrame) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.where(hamming <= SIMHASH_HAMMING_MAX)
             .select("doc_a", "doc_b", hamming.alias("hamming")))
+
+
+def dedup_clusters(docs: DataFrame,
+                   pairs: DataFrame | None = None) -> DataFrame:
+    """Transitive near-dup closure: candidate pairs -> connected
+    components -> one canonical survivor (min doc_id) per cluster.
+
+    Pair-based dedup alone is NOT transitive (streaming/extract_stream.py
+    documents the gap: if B, a near-dup of A, is dropped, a C resembling
+    only B survives). This is the batch authority that closes clusters:
+    ``connected_components`` min-label propagation over the pair graph —
+    duplicate clusters are near-cliques, so it converges in 2-3 joins.
+
+    -> (doc_id, component, keep): every doc keyed to its cluster id with
+    the survivor marked, so callers can either filter (keep) or aggregate
+    cluster sizes for accounting. Docs in no pair are their own
+    singleton component.
+    """
+    from dup_ocropy_spark.operators.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_candidates(docs)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    out = (docs.select("doc_id")
+           .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id")).alias("component")))
+    return out.withColumn("keep", F.col("doc_id") == F.col("component"))

@@ -56,6 +56,44 @@ def topological_levels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
                      f"iterations (cycle, or raise max_iters)")
 
 
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """edges(src, dst) -> (node, component): undirected connected
+    components by iterative min-label propagation — every node converges
+    to the smallest node id reachable from it, which becomes the
+    component id (deterministic canonical representative).
+
+    Same Spark-first frontier shape as ``topological_levels``: each
+    iteration is one equi-join + groupBy-min with localCheckpoint lineage
+    truncation; converges in O(graph diameter) passes. Near-dup pair
+    graphs (the main consumer, ``dedup.dedup_clusters``) have tiny
+    diameters — duplicate clusters are near-cliques — so this is 2-3
+    passes in practice."""
+    both = (edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+            .distinct().persist())
+    labels = (both.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")).persist())
+    for _ in range(max_iters):
+        neighbor_min = (both.join(labels.withColumnRenamed("node", "src"), "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.min("component").alias("component")))
+        new_labels = (labels.unionByName(neighbor_min)
+                      .groupBy("node").agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            both.unpersist()
+            return labels
+    both.unpersist()
+    raise ValueError(f"connected_components did not converge in {max_iters} "
+                     f"iterations (raise max_iters)")
+
+
 def topsort(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """(node, level, rank): deterministic linear extension of the DAG —
     rank orders by (level, node), so every edge points to a higher rank

@@ -76,3 +76,57 @@ def test_topsort_rank_plan_has_no_single_partition_node_exchange(spark):
     # exchange; the node window itself partitions by _pid
     assert len(single) <= 1, plan
     assert any("_pid" in ln and "Window" in ln for ln in plan.splitlines()), plan
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph: distributed min-label propagation must produce the
+    same partition of nodes as a single-process union-find."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n, m = 60, 45
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))
+             if a != b]
+    # reference union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for a, b in edges:
+        for v in (a, b):
+            want.setdefault(v, find(v))
+    # canonical id = min member, matching the operator's convention
+    groups = {}
+    for v, r in want.items():
+        groups.setdefault(find(r), []).append(v)
+    want_comp = {v: min(g) for g in groups.values() for v in g}
+
+    from dup_ocropy_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want_comp
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A-B and B-C near-dup pairs (A-C never paired directly) must end in
+    ONE cluster with one survivor — the closure pair-based dedup lacks."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: (r.component, r.keep)
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   9: (9, True)}  # 9: singleton survivor
