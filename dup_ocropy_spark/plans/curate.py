@@ -56,11 +56,19 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
-           salted: bool = False) -> tuple[DataFrame, DataFrame]:
+           salted: bool = False,
+           near_dedup: bool = False) -> tuple[DataFrame, DataFrame]:
     """-> (curated, stats): curated(conv_id, text, n_turns_with_content,
     n_words) after PII redaction + quality gates + exact dedup; stats is
     a 1-row frame accounting for every drop (the reject-report discipline
-    at corpus grain — silent filtering is how training sets rot)."""
+    at corpus grain — silent filtering is how training sets rot).
+
+    ``near_dedup=True`` additionally DROPS near-duplicates via transitive
+    cluster closure (minhash pairs -> connected components -> one
+    survivor per cluster, ``dedup.dedup_clusters``); by default the
+    pipeline only COUNTS near-dup candidates, leaving the lossy decision
+    to an explicit opt-in (with it on, ``n_after_exact_dedup`` in the
+    stats reflects the post-closure survivor count)."""
     from dup_ocropy_spark.operators.redact import redact_pii
 
     conv = conversation_text(extract(transcripts, config, salted=salted))
@@ -77,16 +85,28 @@ def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
     survivors = exact_keep_first(quality.select("conv_id", "text"), "conv_id")
     curated = (quality.join(survivors.select("conv_id"), "conv_id")
                .select("conv_id", "text", "n_turns_with_content", "n_words"))
-    # near-dup accounting still uses an integer alias (pair output is
-    # doc_a < doc_b): a hash collision here only adds one candidate pair
-    # to a COUNT, it cannot drop data
-    keyed = quality.withColumn("doc_id", F.xxhash64("conv_id"))
-    near_candidates = minhash_candidates(keyed.select("doc_id", "text"))
+    # near-dup pairs keyed on conv_id directly (minhash bands + string
+    # keys) — like exact dedup, no surrogate hash whose collision could
+    # drop a non-duplicate; persisted because both the candidate count
+    # and the opt-in cluster closure consume the pair set
+    keyed = quality.select(F.col("conv_id").alias("doc_id"), "text")
+    near_pairs = minhash_candidates(keyed).persist()
+    if near_dedup:
+        from dup_ocropy_spark.operators.dedup import dedup_clusters
+
+        # closure over the PRE-exact-dedup pair graph: a cluster's
+        # canonical (min conv_id over the component) is necessarily also
+        # the min of its exact-text group, so it always survived
+        # exact_keep_first — joining on keep never empties a cluster
+        clusters = dedup_clusters(keyed, near_pairs)
+        curated = curated.join(
+            clusters.where("keep").select(F.col("doc_id").alias("conv_id")),
+            "conv_id")
     stats = (scored.agg(
         F.count("*").alias("n_convs"),
         F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("n_quality"),
         F.sum("n_redacted").alias("n_pii_redacted"))
         .crossJoin(curated.agg(F.count("*").alias("n_after_exact_dedup")))
-        .crossJoin(near_candidates.agg(
+        .crossJoin(near_pairs.agg(
             F.count("*").alias("n_neardup_candidates"))))
     return curated, stats

@@ -2,7 +2,8 @@
 """spark-submit entrypoint: the composed corpus-curation pipeline.
 
     spark-submit --py-files dup_ocropy_spark.zip jobs/curate_job.py \
-        --input <transcripts parquet> --output <curated dir> [--salted]
+        --input <transcripts parquet> --output <curated dir> \
+        [--salted] [--near-dedup]
 
 extract -> conversation reassembly -> quality gates -> exact dedup, with
 near-dup candidate accounting; writes the curated corpus parquet and
@@ -27,6 +28,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--salted", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="drop near-duplicates via transitive "
+                         "cluster closure (default: count only)")
     args = ap.parse_args(argv)
 
     from dup_ocropy_spark.plans.curate import curate
@@ -35,7 +39,8 @@ def main(argv: list[str]) -> int:
     spark = get_spark(app_name="dup_ocropy_curate")
     transcripts = spark.read.parquet(args.input)
     t0 = time.time()
-    curated, stats = curate(transcripts, salted=args.salted)
+    curated, stats = curate(transcripts, salted=args.salted,
+                        near_dedup=args.near_dedup)
     curated.write.mode("overwrite").parquet(args.output)
     rep = stats.collect()[0].asDict()
     # both consumers of curate()'s persisted intermediates are now

@@ -300,3 +300,40 @@ def test_decontaminate_job_drops_planted_leak(spark, tmp_path, capsys):
     assert rep["n_docs"] == 3 and rep["n_contaminated"] == 1
     clean = spark.read.parquet(str(tmp_path / "clean"))
     assert {r.doc_id for r in clean.collect()} == {"c0", "c2"}
+
+
+def test_curate_near_dedup_closes_clusters(spark):
+    """Three near-identical conversations (not byte-identical, so exact
+    dedup keeps all three) collapse to ONE survivor under
+    curate(near_dedup=True); default mode keeps all three and only
+    counts the candidates."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.plans.curate import curate
+
+    base_words = ("the quick brown fox jumps over a lazy dog while the rain "
+                  "in spain stays mainly on the plain and every careful "
+                  "writer keeps the prose flowing onward through the long "
+                  "afternoon with a steady patient hand for many hours") * 3
+    rows = []
+    for k, tag in enumerate(("alpha", "beta", "gamma")):
+        rows.append((f"conv_near_{k}", 0, "user",
+                     base_words + f" unique closing {tag} remark.",
+                     None, None))
+    # one unrelated conversation that must survive untouched
+    rows.append(("conv_other", 0, "user",
+                 "A completely different conversation about winter harbor "
+                 "logistics, written with the other vocabulary entirely and "
+                 "a different rhythm for the gates to accept it as prose "
+                 "with the usual words the and a sprinkled in everywhere.",
+                 None, None))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    kept_default, stats_default = curate(t)
+    assert kept_default.count() == 4            # exact dedup drops nothing
+    assert stats_default.collect()[0].n_neardup_candidates >= 2
+    kept_closed, stats_closed = curate(t, near_dedup=True)
+    ids = {r.conv_id for r in kept_closed.select("conv_id").collect()}
+    assert ids == {"conv_near_0", "conv_other"}  # min of the cluster + other
+    assert stats_closed.collect()[0].n_after_exact_dedup == 2
