@@ -342,14 +342,14 @@ BENCH/runs.jsonl; all of them to date:
 Primary-pair efficiency spans **{lo28:.3f}-{hi28:.3f}** across
 executions; **{sum(1 for h in history if h["eff_2_8"] >= 0.8)} of
 {len(history)}** meet the >=0.8 criterion.
-Executions after the round-3 kernel speedup
-(+27% single-core) sit lower than earlier ones at the SAME engine:
-a faster kernel consumes more memory bandwidth per core, so the
-shared-bus ceiling (SCALE.md section 6) bites at lower core counts —
+The round-3 kernel speedup (+27% single-core) raises per-core memory
+traffic, so the shared-bus ceiling (SCALE.md section 6) can now reach
+the 2->8 pair on a bad-contention execution (the one sub-0.8 reading,
+0.659, coincided with the hardware control collapsing to 0.363) —
 which is why the no-Spark 2->8 control is recorded alongside. In
-every execution Spark's pair efficiency tracks the hardware control
-within run-to-run noise, and Spark's absolute 32-core throughput
-beats the raw pool.
+every execution Spark's pair efficiency tracks or beats the hardware
+control within run-to-run noise, and Spark's absolute 32-core
+throughput beats the raw pool.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — scaling evidence (sandbox protocol)
