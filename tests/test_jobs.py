@@ -20,6 +20,7 @@ import decontaminate_job  # noqa: E402
 import dedup_job  # noqa: E402
 import eval_job  # noqa: E402
 import extract_job  # noqa: E402
+import ingest_job  # noqa: E402
 import similarity_job  # noqa: E402
 import stream_job  # noqa: E402
 import train_job  # noqa: E402
@@ -337,3 +338,21 @@ def test_curate_near_dedup_closes_clusters(spark):
     ids = {r.conv_id for r in kept_closed.select("conv_id").collect()}
     assert ids == {"conv_near_0", "conv_other"}  # min of the cluster + other
     assert stats_closed.collect()[0].n_after_exact_dedup == 2
+
+
+def test_ingest_job_quarantines_and_reports(spark, tmp_path, capsys):
+    import json as _json
+
+    lines = [
+        _json.dumps({"conv_id": "c1", "turn_idx": 0, "role": "user",
+                     "text": "good row body text", "tool": None,
+                     "ts": "2026-01-01T00:00:00Z"}),
+        "{broken line",
+    ]
+    src = tmp_path / "dump.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    rep = _run(ingest_job, ["--input", str(src),
+                            "--output", str(tmp_path / "parsed")], capsys)
+    assert (rep["n_valid"], rep["n_quarantined"]) == (1, 1)
+    q = spark.read.parquet(str(tmp_path / "parsed_quarantine"))
+    assert q.collect()[0].raw_line == "{broken line"
