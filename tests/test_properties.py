@@ -97,3 +97,46 @@ def test_normalize_kernel_duckdb_triple_parity(s):
     want = normalize_text(s)
     got = duckdb.sql(f"SELECT {normalize_sql(sql_quote(s))} AS n").fetchone()[0]
     assert got == want, (s, got, want)
+
+
+# ---------------------------------------------------------------- redaction
+
+_EMAILS = st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.(com|org|io)", fullmatch=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=80), _EMAILS, st.text(max_size=80))
+def test_redaction_scrubs_planted_email_anywhere(prefix, email, suffix):
+    """Property: whatever surrounds it, a planted well-formed email never
+    survives redaction verbatim (DuckDB twin equality is separately
+    golden-tested; this fuzzes the pattern envelope)."""
+    import re
+
+    from dup_ocropy_spark.operators.redact import PII_PATTERNS
+
+    text = f"{prefix} {email} {suffix}"
+    out = text
+    for _, pat, tok in PII_PATTERNS:
+        out = re.sub(pat, tok, out)
+    assert email not in out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200))
+def test_charlm_score_is_finite_and_batch_invariant(text):
+    """avg_logprob is finite for non-empty text, NaN only for empty, and
+    independent of what else was in the training batch's count matrix
+    shape (pure function of text + table)."""
+    import math
+
+    import numpy as np
+
+    from dup_ocropy_spark.kernels import charlm
+
+    L = charlm.logprob_table(charlm.count_bigrams(["seed text for table"]))
+    s = charlm.avg_logprob(text, L)
+    if text:
+        assert math.isfinite(s) and s < 0.0
+        assert s == charlm.avg_logprob(text, L)  # deterministic
+    else:
+        assert math.isnan(s)
