@@ -90,6 +90,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             both.unpersist()
             return labels
     both.unpersist()
+    labels.unpersist()
     raise ValueError(f"connected_components did not converge in {max_iters} "
                      f"iterations (raise max_iters)")
 

@@ -60,22 +60,30 @@ def mixture_sample(docs: DataFrame, total_n: int, weights: dict[str, float],
     from ``weights`` contribute nothing; a stratum smaller than its
     quota contributes all it has (the caller reads the shortfall off the
     output counts). One shuffle on the stratum key; the quota lookup is
-    a literal CASE chain, not a join."""
+    a literal CASE chain below ~64 strata, a broadcast join above (a
+    10k-entry CASE expression would blow up codegen)."""
     floors = {s: int(total_n * w_) for s, w_ in weights.items()}
     rem = total_n - sum(floors.values())
     by_remainder = sorted(  # stratum name as deterministic tie-break
         weights, key=lambda s: (floors[s] - total_n * weights[s], s))
     for s in by_remainder[:rem]:
         floors[s] += 1
+    w = W.partitionBy(stratum_col).orderBy(_hash_order(key_col, seed), key_col)
+    ranked = docs.withColumn("_rk", F.row_number().over(w))
+    if len(floors) > 64:
+        quotas = docs.sparkSession.createDataFrame(
+            [(s, n) for s, n in floors.items()],
+            f"{stratum_col} string, _quota int")
+        return (ranked.join(F.broadcast(quotas), stratum_col)
+                .where(F.col("_rk") <= F.col("_quota"))
+                .drop("_rk", "_quota"))
     quota = None
     for s, n_s_ in floors.items():
         n_s = F.lit(n_s_)
         quota = (F.when(F.col(stratum_col) == s, n_s) if quota is None
                  else quota.when(F.col(stratum_col) == s, n_s))
     quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
-    w = W.partitionBy(stratum_col).orderBy(_hash_order(key_col, seed), key_col)
-    return (docs.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= quota).drop("_rk"))
+    return ranked.where(F.col("_rk") <= quota).drop("_rk")
 
 
 def sample_sql(table: str, n: int, key_col: str = "doc_id",

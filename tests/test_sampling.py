@@ -104,3 +104,18 @@ def test_mixture_quotas_sum_exactly_via_largest_remainder(spark):
                          "lang").toPandas()
     assert len(got) == 10
     assert sorted(got.groupby("lang").size()) == [2, 2, 3, 3]
+
+
+def test_mixture_sample_many_strata_join_path(spark):
+    """Above 64 strata the quota lookup switches to a broadcast join (a
+    10k-entry CASE chain would blow up codegen); semantics identical."""
+    from dup_ocropy_spark.operators.sampling import mixture_sample
+
+    n_strata = 80
+    d = spark.createDataFrame(
+        [(i, f"s{i % n_strata:03d}") for i in range(800)],
+        "doc_id bigint, lang string")
+    weights = {f"s{k:03d}": 1.0 / n_strata for k in range(n_strata)}
+    got = mixture_sample(d, 160, weights, "lang", seed=2).toPandas()
+    assert len(got) == 160
+    assert (got.groupby("lang").size() == 2).all()
