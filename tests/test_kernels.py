@@ -220,8 +220,11 @@ def test_extract_frame_bitwise_equals_per_turn():
         "tool": [None] * 4,
     })
     pdf = pd.concat([pdf, edge], ignore_index=True)
-    for clf in ("rule", "logistic", "logistic_ctx"):
-        cfg = ExtractConfig(classifier=clf)
+    from dup_ocropy_spark.kernels.lstm import TinyBiLSTM
+    lstm_flat = tuple(TinyBiLSTM(n_in=8, seed=7).to_flat().tolist())
+    for clf in ("rule", "logistic", "logistic_ctx", "lstm"):
+        cfg = (ExtractConfig(classifier="lstm", weights=lstm_flat)
+               if clf == "lstm" else ExtractConfig(classifier=clf))
         got = extract_frame(pdf, cfg)
         for i in range(len(pdf)):
             want = extract_turn(
