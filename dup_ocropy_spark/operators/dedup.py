@@ -376,3 +376,39 @@ def dedup_clusters(docs: DataFrame,
            .select("doc_id",
                    F.coalesce("component", F.col("doc_id")).alias("component")))
     return out.withColumn("keep", F.col("doc_id") == F.col("component"))
+
+
+def doc_fingerprints(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp): the whitespace-normalized md5 fingerprint every exact-
+    dedup path keys on (same normalization as the quality_score fp
+    column and the streaming dedup key)."""
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.select(F.col(id_col), fp.alias("fp"))
+
+
+def dedup_against_snapshot(new_docs: DataFrame, seen_fps: DataFrame,
+                           id_col: str = "doc_id"
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: the daily-ingest pattern. A new batch is
+    deduped (a) against everything already accepted — ``seen_fps`` is the
+    materialized fingerprint table from prior runs — and (b) within
+    itself (keep-first). -> (fresh docs, updated fingerprint table to
+    write back for the next run).
+
+    100 TB shape: the corpus-history state is the fp TABLE (16-byte
+    hashes + ids), never the corpus; per run this is one left-anti join
+    on fp (AQE-planned — the history side is large but the join is a
+    plain equi-join on a uniform hash) plus the in-batch keep-first
+    window. The updated table is history ∪ new survivors — append-only,
+    so production writes just the new rows as a partition."""
+    batch = new_docs.withColumn(
+        "fp", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+    unseen = batch.join(seen_fps.select("fp"), "fp", "left_anti")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy(id_col)
+    fresh = (unseen.withColumn("_rk", F.row_number().over(w))
+             .where(F.col("_rk") == 1).drop("_rk"))
+    updated = (seen_fps.select(id_col, "fp")
+               .unionByName(fresh.select(id_col, "fp")))
+    return fresh.drop("fp"), updated

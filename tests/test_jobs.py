@@ -356,3 +356,33 @@ def test_ingest_job_quarantines_and_reports(spark, tmp_path, capsys):
     assert (rep["n_valid"], rep["n_quarantined"]) == (1, 1)
     q = spark.read.parquet(str(tmp_path / "parsed_quarantine"))
     assert q.collect()[0].raw_line == "{broken line"
+
+
+def test_dedup_against_snapshot_incremental(spark):
+    """Two ingest batches: batch-2 rows already accepted in batch-1 (by
+    normalized text, not byte identity) are dropped; the fingerprint
+    table grows by exactly the fresh survivors."""
+    from dup_ocropy_spark.operators.dedup import (
+        dedup_against_snapshot, doc_fingerprints,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a1", "the first document body"),
+         ("a2", "a second document body"),
+         ("a3", "a second   document body")],   # in-batch near-exact dup
+        "doc_id string, text string")
+    empty = doc_fingerprints(b1).limit(0)
+    fresh1, fps1 = dedup_against_snapshot(b1, empty)
+    assert {r.doc_id for r in fresh1.collect()} == {"a1", "a2"}  # a3 ws-dup
+    assert fps1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [("b1", "THE FIRST DOCUMENT BODY"),     # case-dup of a1
+         ("b2", "a genuinely new document body")],
+        "doc_id string, text string")
+    fresh2, fps2 = dedup_against_snapshot(b2, fps1)
+    assert {r.doc_id for r in fresh2.collect()} == {"b2"}
+    assert fps2.count() == 3
+    # idempotent: replaying batch 2 yields nothing new
+    fresh3, fps3 = dedup_against_snapshot(b2, fps2)
+    assert fresh3.count() == 0 and fps3.count() == 3
