@@ -6,8 +6,11 @@ batch UDFs over ``mapInPandas``. Codec registry (``DECODERS``):
 
   * ``wav``  — REAL decode via the stdlib ``wave`` module (16-bit PCM ->
     RMS envelope features), no external library needed;
+  * ``png``  — REAL decode via stdlib ``zlib``/``struct`` (chunk CRC
+    verification, IDAT inflate, full scanline unfiltering) -> luminance
+    histogram features; 8-bit non-interlaced gray/RGB/A;
   * ``fake`` — deterministic keyed-hash stand-in used to exercise the
-    full Arrow path for formats whose libraries (PIL/ffmpeg) are NOT in
+    full Arrow path for formats whose libraries (ffmpeg etc.) are NOT in
     this container;
   * ``real`` — honest ``NotImplementedError`` placeholder for those
     formats.
@@ -83,7 +86,94 @@ def _wav_decode(payload: bytes, media_type: str) -> np.ndarray:
     return (rms / 32768.0).astype(np.float32)
 
 
-DECODERS = {"real": _real_decode, "fake": _fake_decode, "wav": _wav_decode}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel by color type (8-bit depth): gray, RGB, gray+A, RGBA
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filtering (types 0-4). Rows are sequential
+    by construction (Up/Average/Paeth reference the prior row); within a
+    row, Sub/Average/Paeth recur on the previous pixel. Fixture-scale
+    images only — a production raster path would use a real codec lib."""
+    out = np.zeros((h, stride), dtype=np.int64)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ft, line = int(raw[y, 0]), raw[y, 1:].astype(np.int64)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:                              # Up
+            out[y] = (line + prev) & 0xFF
+        else:                                      # Sub/Average/Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:                      # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                cur[x] = (line[x] + pred) & 0xFF
+    return out
+
+
+def _png_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """REAL image decode via stdlib only (struct + zlib): parse the chunk
+    stream with CRC verification, inflate IDAT, undo scanline filters,
+    and emit a FEATURE_DIM-bin luminance histogram (mass-normalized) —
+    an honest pixel-derived feature. Supports 8-bit depth, color types
+    gray/RGB/gray+A/RGBA, non-interlaced."""
+    import zlib
+    from struct import unpack
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, w = len(_PNG_SIG), None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_BPP or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace}); stdlib path handles 8-bit "
+                    "non-interlaced gray/RGB/A")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    bpp = _PNG_BPP[color]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (w * bpp + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    # luminance: Rec.601 for color, first channel for gray (alpha ignored)
+    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+           if color in (2, 6) else px[..., 0].astype(np.float64))
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 256.0))
+    return (hist / max(1, lum.size)).astype(np.float32)
+
+
+DECODERS = {"real": _real_decode, "fake": _fake_decode, "wav": _wav_decode,
+            "png": _png_decode}
 
 
 def synth_wav_media(spark: SparkSession, n: int = 16) -> DataFrame:
@@ -117,6 +207,59 @@ def synth_wav_media(spark: SparkSession, n: int = 16) -> DataFrame:
                     "payload": buf.getvalue(),
                     "meta": {"width": 0, "height": 0, "sample_rate": sr,
                              "codec": "pcm_s16le"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder for fixtures: 8-bit gray (h, w) or RGB
+    (h, w, 3), filter 0 scanlines, one IDAT. Round-trips through
+    ``_png_decode`` (test-pinned)."""
+    import zlib
+    from struct import pack
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    color = 0 if gray else 2
+    body = b"".join(b"\x00" + (px[y].tobytes()) for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (pack(">I", len(data)) + ctype + data
+                + pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (_PNG_SIG
+            + chunk(b"IHDR", pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b""))
+
+
+def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Deterministic REAL PNG fixtures: gradient / checker / solid
+    patterns whose luminance distribution derives from doc_id."""
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h, w = 24 + i % 8, 32 + i % 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                kind = i % 3
+                if kind == 0:    # horizontal gradient, offset by id
+                    img = ((xx * 255 // max(1, w - 1)) + 16 * i) % 256
+                elif kind == 1:  # checkerboard
+                    img = ((yy // 4 + xx // 4) % 2) * 255
+                else:            # RGB gradient
+                    img = np.stack([(xx * 255 // max(1, w - 1)),
+                                    (yy * 255 // max(1, h - 1)),
+                                    np.full((h, w), (i * 37) % 256)], axis=-1)
+                rows.append({
+                    "doc_id": i, "media_type": "image",
+                    "payload": encode_png(img.astype(np.uint8)),
+                    "meta": {"width": w, "height": h, "sample_rate": 0,
+                             "codec": "png"},
                 })
             yield pd.DataFrame(rows)
 

@@ -289,3 +289,76 @@ def test_multimodal_real_decoder_stub(spark):
     pdf = extract_media_features(media, decoder="real").toPandas()
     assert (~pdf["decode_ok"]).all()
     assert pdf["decode_error"].str.contains("no codec library").all()
+
+
+def test_png_decode_all_filter_types(spark):
+    """The stdlib PNG decoder must invert every scanline filter (0-4).
+    Forward-filter a known image per spec, wrap it in a valid chunk
+    stream, and require exact pixel recovery (checked via the histogram
+    of a crafted two-value image)."""
+    import zlib
+    from struct import pack
+
+    import numpy as np
+
+    from dup_ocropy_spark.operators.multimodal import (
+        FEATURE_DIM, _PNG_SIG, _png_decode,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 7, 11
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    body = b""
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        ft = y % 5                      # cycle through every filter type
+        row = img[y].astype(np.int64)
+        filt = np.zeros(w, dtype=np.int64)
+        for x in range(w):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+            filt[x] = (row[x] - pred) & 0xFF
+        body += bytes([ft]) + bytes(filt.astype(np.uint8))
+        prev = row
+
+    def chunk(ctype, data):
+        return (pack(">I", len(data)) + ctype + data
+                + pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(body))
+               + chunk(b"IEND", b""))
+    feat = _png_decode(payload, "image")
+    want, _ = np.histogram(img.astype(np.float64), bins=FEATURE_DIM,
+                           range=(0.0, 256.0))
+    assert np.allclose(feat, want / img.size, atol=1e-6)
+
+
+def test_png_media_through_arrow_stage(spark):
+    """Real PNG fixtures decode through the full mapInPandas stage; a
+    corrupted payload reports decode_ok=False, never raises."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.multimodal import (
+        extract_media_features, synth_png_media,
+    )
+
+    media = synth_png_media(spark, 9)
+    corrupt = media.limit(1).withColumn(
+        "payload", F.expr("substring(payload, 1, 40)"))  # truncated
+    out = extract_media_features(media.unionByName(corrupt), decoder="png")
+    rows = out.collect()
+    ok = [r for r in rows if r.decode_ok]
+    assert len(ok) == 9 and all(r.magic == "png" for r in ok)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-4 for r in ok)
+    bad = [r for r in rows if not r.decode_ok]
+    assert len(bad) == 1 and bad[0].decode_error is not None
