@@ -16,7 +16,7 @@ batch UDFs over ``mapInPandas``. Codec registry (``DECODERS``):
     formats.
 
 Everything Spark-side (schema, partitioning, UDF signature, Arrow batch
-shape) is real and tested for all three.
+shape) is real and tested for every codec.
 """
 
 from __future__ import annotations
