@@ -202,11 +202,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
 
     from dup_ocropy_spark.operators.decontaminate import decontaminate
     from dup_ocropy_spark.operators.lmquality import fit_char_lm, lm_scores
-
-    bench_docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
     from dup_ocropy_spark.operators.sampling import deterministic_sample
 
+    bench_docs = docs  # the same (doc_id, text) frame the dedup block scans
     # a 50-doc "benchmark" drawn from the corpus itself: realistic
     # broadcast size, guaranteed hits to aggregate (seeded, never bare limit)
     bench_eval = deterministic_sample(bench_docs, 50).select(

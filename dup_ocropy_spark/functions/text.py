@@ -80,3 +80,15 @@ def project_text_col(col: Column | str, kind: str = "exact") -> Column:
     if kind not in _PROJECTIONS:
         raise ValueError(f"unknown projection: {kind}")
     return F.regexp_replace(c, _PROJECTIONS[kind], "")
+
+
+def normalized_fp(col) -> Column:
+    """The whitespace-collapsed, case-folded md5 content fingerprint —
+    ONE definition shared by quality_score's fp column, the streaming
+    dedup key, and incremental snapshot dedup (a normalization tweak
+    applied anywhere else would silently desynchronize persisted
+    fingerprint tables from freshly computed fps). NOTE: the exact-dedup
+    operators (dedup_exact / exact_keep_first) key on RAW md5(text) —
+    byte-identity, a deliberately stricter relation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

@@ -379,11 +379,15 @@ def dedup_clusters(docs: DataFrame,
 
 
 def doc_fingerprints(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, fp): the whitespace-normalized md5 fingerprint every exact-
-    dedup path keys on (same normalization as the quality_score fp
-    column and the streaming dedup key)."""
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    return d.select(F.col(id_col), fp.alias("fp"))
+    """(id, fp): the whitespace-collapsed case-folded md5 fingerprint —
+    the SAME definition as quality_score's fp column and the streaming
+    dedup key (functions/text.normalized_fp, single source of truth).
+    Note the deliberately different relation of the batch exact-dedup
+    operators (dedup_exact / exact_keep_first): those key on RAW
+    md5(text) byte-identity."""
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    return d.select(F.col(id_col), normalized_fp("text").alias("fp"))
 
 
 def dedup_against_snapshot(new_docs: DataFrame, seen_fps: DataFrame,
@@ -401,8 +405,9 @@ def dedup_against_snapshot(new_docs: DataFrame, seen_fps: DataFrame,
     plain equi-join on a uniform hash) plus the in-batch keep-first
     window. The updated table is history ∪ new survivors — append-only,
     so production writes just the new rows as a partition."""
-    batch = new_docs.withColumn(
-        "fp", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))))
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    batch = new_docs.withColumn("fp", normalized_fp("text"))
     unseen = batch.join(seen_fps.select("fp"), "fp", "left_anti")
     from pyspark.sql import Window as W
 

@@ -62,12 +62,14 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     to the smallest node id reachable from it, which becomes the
     component id (deterministic canonical representative).
 
-    Same Spark-first frontier shape as ``topological_levels``: each
-    iteration is one equi-join + groupBy-min with localCheckpoint lineage
-    truncation; converges in O(graph diameter) passes. Near-dup pair
-    graphs (the main consumer, ``dedup.dedup_clusters``) have tiny
-    diameters — duplicate clusters are near-cliques — so this is 2-3
-    passes in practice."""
+    Same Spark-first frontier shape as ``topological_levels`` — each
+    iteration is a neighbor-relax join + a POINTER-JUMP join (label of my
+    label), so label distance doubles per pass and convergence is
+    O(log diameter), not O(diameter): a 60-doc template-drift CHAIN
+    (consecutive near-dup pairs only) converges in ~6 passes where plain
+    propagation needs 60 and would abort at the iteration bound.
+    Near-dup clusters are usually near-cliques (1-2 passes); the chain
+    case is exactly why the jump step exists."""
     both = (edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
@@ -78,8 +80,16 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         neighbor_min = (both.join(labels.withColumnRenamed("node", "src"), "src")
                         .groupBy(F.col("dst").alias("node"))
                         .agg(F.min("component").alias("component")))
-        new_labels = (labels.unionByName(neighbor_min)
-                      .groupBy("node").agg(F.min("component").alias("component"))
+        relaxed = (labels.unionByName(neighbor_min)
+                   .groupBy("node").agg(F.min("component").alias("component")))
+        # pointer jump: component ids are node ids, so resolve each
+        # node's label through its label's label (always <=)
+        parent = (relaxed.select(F.col("node").alias("component"),
+                                 F.col("component").alias("_grand")))
+        new_labels = (relaxed.join(parent, "component", "left")
+                      .select("node",
+                              F.coalesce("_grand", "component")
+                              .alias("component"))
                       .localCheckpoint())
         changed = (new_labels.alias("n").join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))

@@ -141,12 +141,18 @@ def _png_decode(payload: bytes, media_type: str) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,), ctype = unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        crc_bytes = payload[pos + 8 + length:pos + 12 + length]
+        # explicit length checks: unpack on short slices raises
+        # struct.error, which would escape the stage's ValueError
+        # quarantine and crash the task (the never-raise contract)
+        if len(body) != length or len(crc_bytes) != 4:
             raise ValueError("truncated PNG chunk")
-        (crc,) = unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        (crc,) = unpack(">I", crc_bytes)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("malformed IHDR chunk")
             w, h, depth, color, _, _, interlace = unpack(">IIBBBBB", body)
             if depth != 8 or color not in _PNG_BPP or interlace:
                 raise ValueError(
@@ -161,7 +167,10 @@ def _png_decode(payload: bytes, media_type: str) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     bpp = _PNG_BPP[color]
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as e:  # CRC-valid chunks, truncated stream overall
+        raise ValueError(f"PNG IDAT stream does not inflate: {e}") from e
     if raw.size != h * (w * bpp + 1):
         raise ValueError("PNG pixel data size mismatch")
     px = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)

@@ -148,7 +148,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = (_word_count(F.col("text"), "the") + _word_count(F.col("text"), "a"))
     stop_ratio = stop_hits.cast("double") / n_words
     dlf, dwf = repetition_fractions(F.col("text"))
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    fp = normalized_fp("text")
     base = d.select("doc_id", n_words.alias("n_words"), awl.alias("awl"),
                     stop_ratio.alias("sr"), dlf.alias("dlf"), dwf.alias("dwf"),
                     fp.alias("fp"))
@@ -202,5 +204,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest-information row; the slot went to
     ``extract_documents_classified``)."""
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    return d.select("doc_id", F.md5(norm).alias("fp"))
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    return d.select("doc_id", normalized_fp("text").alias("fp"))

@@ -75,8 +75,10 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     Uses dropDuplicatesWithinWatermark so the dedup state is bounded at
     100 TB/day ingest: a fingerprint is only held for `watermark` of
     event time, not forever."""
+    from dup_ocropy_spark.functions.text import normalized_fp
+
     cols, payload = _payload_and_cols(stream)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace(payload, r"\s+", " "))))
+    fp = normalized_fp(payload)
     return (stream.select(*cols)
             .withColumn("fp", fp)
             .withWatermark("ts", watermark)

@@ -130,3 +130,17 @@ def test_dedup_clusters_transitive_closure(spark):
            for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False),
                    9: (9, True)}  # 9: singleton survivor
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 60-node chain (template-drift near-dup shape: consecutive pairs
+    only) must converge — pointer jumping doubles label distance per
+    pass, so the default iteration bound is never the limit. Plain
+    one-hop propagation needed 60 rounds and aborted at 50."""
+    from dup_ocropy_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src bigint, dst bigint")
+    got = {r.node: r.component
+           for r in connected_components(edges, max_iters=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 61

@@ -66,10 +66,11 @@ def test_global_packing_has_no_single_partition_doc_exchange(docs):
     assert "rangepartitioning" in plan.lower(), plan
 
 
-def test_write_packed_shards_stream_order(spark, docs, tmp_path):
-    """Shards must partition the seq_id space without overlap and each
-    file must replay (seq_id, seq_offset) in order — a dataloader reads
-    the concatenated stream with sequential scans only."""
+def test_write_packed_shards_whole_sequences(spark, docs, tmp_path):
+    """Every training sequence must live entirely inside ONE shard
+    directory (a torn sequence would be double-counted or truncated by a
+    shard-per-worker dataloader), files replay (seq_id, seq_offset) in
+    order, and nothing is lost or duplicated."""
     import glob
     import pandas as pd
 
@@ -77,18 +78,22 @@ def test_write_packed_shards_stream_order(spark, docs, tmp_path):
 
     packed = pack_sequences(docs, 512, num_partitions=4)
     out = str(tmp_path / "shards")
-    write_packed_shards(packed, out, rows_per_shard=40, num_shards=3)
-    files = sorted(glob.glob(out + "/*.parquet"))
-    assert len(files) >= 3  # range split x maxRecordsPerFile
-    ranges = []
-    for f in files:
-        pdf = pd.read_parquet(f)
-        key = list(zip(pdf.seq_id, pdf.seq_offset))
-        assert key == sorted(key), f  # in-file stream order
-        ranges.append((min(key), max(key), len(pdf)))
-    # files cover the space without key-range overlap (sorted by min)
-    ranges.sort()
-    for (lo1, hi1, _), (lo2, _, _) in zip(ranges, ranges[1:]):
-        assert hi1 <= lo2
-    # nothing lost or duplicated
-    assert sum(r[2] for r in ranges) == docs.count()
+    write_packed_shards(packed, out, seqs_per_shard=8)
+    shard_dirs = sorted(glob.glob(out + "/shard_id=*"))
+    assert len(shard_dirs) >= 2
+    seq_to_shard: dict[int, set[str]] = {}
+    total = 0
+    for d in shard_dirs:
+        pdf = pd.concat([pd.read_parquet(f)
+                         for f in sorted(glob.glob(d + "/*.parquet"))])
+        total += len(pdf)
+        for s in pdf.seq_id.unique():
+            seq_to_shard.setdefault(int(s), set()).add(d)
+            assert int(s) // 8 == int(d.rsplit("=", 1)[1])
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            one = pd.read_parquet(f)
+            key = list(zip(one.seq_id, one.seq_offset))
+            assert key == sorted(key), f  # in-file stream order
+    # a sequence never straddles shards
+    assert all(len(v) == 1 for v in seq_to_shard.values())
+    assert total == docs.count()

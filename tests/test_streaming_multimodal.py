@@ -362,3 +362,40 @@ def test_png_media_through_arrow_stage(spark):
     assert all(abs(sum(r.feature) - 1.0) < 1e-4 for r in ok)
     bad = [r for r in rows if not r.decode_ok]
     assert len(bad) == 1 and bad[0].decode_error is not None
+
+
+def test_png_malformed_variants_always_valueerror():
+    """The review found three malformed-PNG shapes escaping as
+    zlib.error/struct.error and crashing the Spark task: CRC-valid but
+    truncated IDAT stream, payload cut right after a chunk body (CRC
+    bytes missing), and a wrong-size IHDR. All must be ValueError so the
+    stage's quarantine (decode_ok=False) catches them."""
+    import zlib
+    from struct import pack
+
+    import numpy as np
+    import pytest
+
+    from dup_ocropy_spark.operators.multimodal import (
+        _PNG_SIG, _png_decode, encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (pack(">I", len(data)) + ctype + data
+                + pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    full_body = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
+    # 1) every chunk CRC-valid, but the deflate stream itself truncated
+    p1 = (_PNG_SIG
+          + chunk(b"IHDR", pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+          + chunk(b"IDAT", zlib.compress(full_body)[:10])
+          + chunk(b"IEND", b""))
+    # 2) payload cut right after a chunk body (no CRC bytes)
+    good = encode_png(img)
+    p2 = good[:len(_PNG_SIG) + 8 + 13]       # signature + IHDR header+body
+    # 3) IHDR with the wrong byte count (CRC recomputed, so CRC passes)
+    p3 = (_PNG_SIG + chunk(b"IHDR", pack(">II", 8, 8)) + chunk(b"IEND", b""))
+    for p in (p1, p2, p3):
+        with pytest.raises(ValueError):
+            _png_decode(p, "image")
