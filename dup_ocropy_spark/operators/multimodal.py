@@ -337,3 +337,108 @@ def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stage, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------- metadata validation
+
+def png_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the PNG IHDR (signature + first chunk only)."""
+    from struct import unpack
+
+    if not payload.startswith(_PNG_SIG) or len(payload) < 24:
+        raise ValueError("not a PNG payload")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG does not start with IHDR")
+    w, h = unpack(">II", payload[16:24])
+    return int(w), int(h)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first JPEG SOF marker (baseline 0xC0,
+    extended 0xC1, progressive 0xC2). Metadata-only — a full stdlib JPEG
+    pixel decode is not feasible, but frame dimensions are."""
+    from struct import unpack
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            if pos + 9 > len(payload):
+                raise ValueError("truncated JPEG SOF segment")
+            h, w = unpack(">HH", payload[pos + 5:pos + 9])
+            return int(w), int(h)
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seglen,) = unpack(">H", payload[pos + 2:pos + 4])
+        if seglen < 2:
+            raise ValueError("invalid JPEG segment length")
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOF marker")
+
+
+def wav_rate(payload: bytes) -> int:
+    """Sample rate from the WAV container header."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return int(w.getframerate())
+    except (wave.Error, EOFError, _struct_error) as e:
+        raise ValueError(f"not a WAV payload: {e}") from e
+
+
+VALIDATE_SCHEMA = ("doc_id long, media_type string, magic string, "
+                   "meta_ok boolean, mismatch string")
+
+
+def validate_media_meta(media: DataFrame) -> DataFrame:
+    """Data-quality check: does the DECLARED metadata struct match what
+    the container headers actually say? Mislabeled media (wrong
+    dimensions / sample rate — a classic upstream-pipeline bug) is
+    flagged per row, never dropped silently. Header parses only (bounded
+    bytes per row); formats without a stdlib parser report
+    meta_ok=NULL/mismatch='unverifiable' rather than a fake pass."""
+    def stage(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, media_type, raw, meta in zip(
+                    pdf["doc_id"].to_numpy(), pdf["media_type"].to_numpy(),
+                    pdf["payload"].to_numpy(), pdf["meta"].to_numpy()):
+                payload = bytes(raw or b"")
+                magic = "unknown"
+                for sig, name in _MAGIC.items():
+                    if payload.startswith(sig):
+                        magic = name
+                        break
+                ok, why = None, "unverifiable"
+                try:
+                    if magic == "png":
+                        w, h = png_dims(payload)
+                        ok = (w == meta["width"] and h == meta["height"])
+                        why = None if ok else (
+                            f"declared {meta['width']}x{meta['height']}, "
+                            f"container says {w}x{h}")
+                    elif magic == "jpeg":
+                        w, h = jpeg_dims(payload)
+                        ok = (w == meta["width"] and h == meta["height"])
+                        why = None if ok else (
+                            f"declared {meta['width']}x{meta['height']}, "
+                            f"container says {w}x{h}")
+                    elif magic == "riff-wav":
+                        sr = wav_rate(payload)
+                        ok = (sr == meta["sample_rate"])
+                        why = None if ok else (
+                            f"declared {meta['sample_rate']}Hz, "
+                            f"container says {sr}Hz")
+                except ValueError as e:
+                    ok, why = False, f"header parse failed: {e}"
+                out.append({"doc_id": doc_id, "media_type": media_type,
+                            "magic": magic, "meta_ok": ok, "mismatch": why})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stage, schema=VALIDATE_SCHEMA)

@@ -399,3 +399,44 @@ def test_png_malformed_variants_always_valueerror():
     for p in (p1, p2, p3):
         with pytest.raises(ValueError):
             _png_decode(p, "image")
+
+
+def test_validate_media_meta_flags_mislabeled_media(spark):
+    """Declared vs container metadata: correct PNG/WAV fixtures pass,
+    tampered declarations are flagged with the real values, a synthetic
+    JPEG SOF parses, and unverifiable formats report NULL rather than a
+    fake pass."""
+    from struct import pack
+
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.multimodal import (
+        jpeg_dims, synth_png_media, synth_wav_media, validate_media_meta,
+    )
+
+    # minimal JPEG: SOI + SOF0 (h=10, w=20) + EOI
+    sof = b"\xff\xc0" + pack(">H", 8 + 3) + b"\x08" + pack(">HH", 10, 20) + b"\x01"
+    jpeg = b"\xff\xd8" + sof + b"\xff\xd9"
+    assert jpeg_dims(jpeg) == (20, 10)
+
+    good = synth_png_media(spark, 4).unionByName(synth_wav_media(spark, 3))
+    v = validate_media_meta(good).collect()
+    assert all(r.meta_ok is True for r in v), v
+
+    # tamper the declared width of the PNGs
+    bad = synth_png_media(spark, 2).withColumn(
+        "meta", F.named_struct(
+            F.lit("width"), F.col("meta.width") + 7,
+            F.lit("height"), F.col("meta.height"),
+            F.lit("sample_rate"), F.col("meta.sample_rate"),
+            F.lit("codec"), F.col("meta.codec")))
+    vb = validate_media_meta(bad).collect()
+    assert all(r.meta_ok is False and "container says" in r.mismatch for r in vb)
+
+    # unparseable formats -> unverifiable NULL, not a fake pass
+    from dup_ocropy_spark.operators.multimodal import synth_media
+
+    vu = validate_media_meta(synth_media(spark, 10)).collect()
+    unk = [r for r in vu if r.magic in ("ogg", "mp4ish")]
+    assert unk and all(r.meta_ok is None and r.mismatch == "unverifiable"
+                       for r in unk)
