@@ -302,10 +302,13 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """binary payload -> (magic sniff, feature vector) via Arrow batches.
 
+    ``decoder='auto'`` dispatches per row on the container magic (real
+    PNG/WAV decode, fake elsewhere); a named decoder forces one codec.
     Mirrors the text pipeline's shape: cheap JVM-expressible metadata
     (n_bytes) computed as columns; only the codec work crosses to Python.
     """
-    decode = DECODERS[decoder]
+    auto = decoder == "auto"
+    decode = _fake_decode if auto else DECODERS[decoder]
 
     def stage(batches):
         for pdf in batches:
@@ -321,7 +324,12 @@ def extract_media_features(media: DataFrame, decoder: str = "fake") -> DataFrame
                         magic = name
                         break
                 try:
-                    feat = decode(payload, media_type)
+                    if auto and magic == "png":
+                        feat = _png_decode(payload, media_type)
+                    elif auto and magic == "riff-wav":
+                        feat = _wav_decode(payload, media_type)
+                    else:
+                        feat = decode(payload, media_type)
                     ok, err = True, None
                 except (NotImplementedError, ValueError) as e:
                     feat, ok, err = np.zeros(FEATURE_DIM, dtype=np.float32), False, str(e)

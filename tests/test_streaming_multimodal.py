@@ -440,3 +440,28 @@ def test_validate_media_meta_flags_mislabeled_media(spark):
     unk = [r for r in vu if r.magic in ("ogg", "mp4ish")]
     assert unk and all(r.meta_ok is None and r.mismatch == "unverifiable"
                        for r in unk)
+
+
+def test_auto_decoder_dispatches_by_magic(spark):
+    """decoder='auto': PNG rows get real luminance histograms, WAV rows
+    real RMS envelopes, opaque formats the deterministic fake — all in
+    one pass, told apart by the magic column."""
+    from dup_ocropy_spark.operators.multimodal import (
+        extract_media_features, synth_media, synth_png_media,
+        synth_wav_media,
+    )
+
+    real = (synth_png_media(spark, 3).unionByName(synth_wav_media(spark, 2)))
+    rows = extract_media_features(real, decoder="auto").collect()
+    assert all(r.decode_ok for r in rows)
+    png = [r for r in rows if r.magic == "png" and sum(r.feature) > 0.99]
+    wav = [r for r in rows if r.magic == "riff-wav"]
+    assert len(png) == 3 and len(wav) == 2   # real decodes
+    # spoofed magic (random bytes behind a PNG/RIFF header) must FAIL the
+    # real decode — auto mode exposes payloads masquerading as a format —
+    # while genuinely opaque formats fall back to the deterministic fake
+    spoof = extract_media_features(synth_media(spark, 10), decoder="auto").collect()
+    spoofed = [r for r in spoof if r.magic in ("png", "riff-wav")]
+    assert spoofed and all(not r.decode_ok for r in spoofed)
+    opaque = [r for r in spoof if r.magic in ("ogg", "mp4ish", "jpeg", "unknown")]
+    assert opaque and all(r.decode_ok for r in opaque)  # fake stand-in
