@@ -97,3 +97,18 @@ def test_write_packed_shards_whole_sequences(spark, docs, tmp_path):
     # a sequence never straddles shards
     assert all(len(v) == 1 for v in seq_to_shard.values())
     assert total == docs.count()
+
+
+def test_packing_edge_cases_zero_tokens_and_tiny_budget(spark):
+    """Zero-token docs occupy no space (same start as their successor)
+    and never break offset bounds; budget=1 degenerates to one sequence
+    per token with offset always 0."""
+    d = spark.createDataFrame(
+        [(0, 3), (1, 0), (2, 2), (3, 0), (4, 1)],
+        "doc_id bigint, n_tokens bigint")
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(d, 4).collect()}
+    assert got == {0: (0, 0), 1: (0, 3), 2: (0, 3), 3: (1, 1), 4: (1, 1)}
+    one = pack_sequences(d, 1).collect()
+    assert all(r.seq_offset == 0 for r in one)
+    assert {r.doc_id: r.seq_id for r in one} == {0: 0, 1: 3, 2: 3, 3: 5, 4: 5}
