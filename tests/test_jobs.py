@@ -386,3 +386,30 @@ def test_dedup_against_snapshot_incremental(spark):
     # idempotent: replaying batch 2 yields nothing new
     fresh3, fps3 = dedup_against_snapshot(b2, fps2)
     assert fresh3.count() == 0 and fps3.count() == 3
+
+
+def test_ingest_then_curate_job_chain(spark, tmp_path, capsys):
+    """The raw-dump-to-curated-corpus path a production user actually
+    runs: JSONL (with corrupt lines and a duplicated conversation) ->
+    ingest_job -> curate_job, chained on the parquet handoff."""
+    import json as _json
+
+    conv = [
+        {"conv_id": c, "turn_idx": t, "role": "user",
+         "text": f"turn {t} of conversation body with the usual words and "
+                 f"a natural sentence long enough to pass every gate.",
+         "tool": None, "ts": f"2026-01-01T00:0{t}:00Z"}
+        for c in ("c1", "c1_dup") for t in range(3)
+    ]
+    lines = [_json.dumps(r) for r in conv] + ["{not json", "[]"]
+    src = tmp_path / "dump.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    rep1 = _run(ingest_job, ["--input", str(src),
+                             "--output", str(tmp_path / "parsed")], capsys)
+    assert rep1["n_valid"] == 6 and rep1["n_quarantined"] == 2
+    rep2 = _run(curate_job, ["--input", str(tmp_path / "parsed"),
+                             "--output", str(tmp_path / "curated")], capsys)
+    # both conversations reassemble to identical text -> exact dedup to 1
+    assert rep2["n_convs"] == 2 and rep2["n_after_exact_dedup"] == 1
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    assert curated.count() == 1
