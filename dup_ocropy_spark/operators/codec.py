@@ -78,3 +78,36 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
         state = new_state.persist()
     state.unpersist()
     return merges
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens_bpe_learned``: the document's token count under
+    the TRAINED codec (vs token_counts' regex approximation) — the count
+    a packing/budgeting stage should use once a codec exists. The merge
+    list rides the task closure (2 strings per merge); encoding is the
+    kernel's encode_word per distinct word of the doc, memoized per
+    batch (Zipf: a few thousand distinct words cover most text)."""
+    def stage(batches):
+        for pdf in batches:
+            cache: dict[str, int] = {}
+
+            def count(text):
+                if not isinstance(text, str) or not text:
+                    return 0
+                n = 0
+                for w in text.split():
+                    k = cache.get(w)
+                    if k is None:
+                        k = cache[w] = len(bpe.encode_word(w, merges))
+                    n += k
+                return n
+
+            pdf = pdf.copy()
+            pdf["n_tokens_bpe_learned"] = [count(t) for t in pdf[text_col]]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in docs.schema.fields) \
+        + ", n_tokens_bpe_learned long"
+    return docs.mapInPandas(stage, schema=schema)

@@ -52,3 +52,19 @@ def test_distributed_early_stop_on_exhausted_pairs(spark):
     docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
     got = train_bpe(docs, n_merges=50)   # no pair repeats -> no merges
     assert got == []
+
+
+def test_bpe_token_counts_match_kernel(spark):
+    from dup_ocropy_spark.operators.codec import bpe_token_counts, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=25)
+    got = {r.doc_id: r.n_tokens_bpe_learned
+           for r in bpe_token_counts(docs, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want = sum(len(bpe.encode_word(w, merges)) for w in t.split())
+        assert got[i] == want
+    # merged codec yields fewer tokens than raw chars, at least one per word
+    for i, t in enumerate(CORPUS):
+        assert len(t.split()) <= got[i] < sum(len(w) for w in t.split())
