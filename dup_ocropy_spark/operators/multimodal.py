@@ -410,7 +410,31 @@ def validate_media_meta(media: DataFrame) -> DataFrame:
     dimensions / sample rate — a classic upstream-pipeline bug) is
     flagged per row, never dropped silently. Header parses only (bounded
     bytes per row); formats without a stdlib parser report
-    meta_ok=NULL/mismatch='unverifiable' rather than a fake pass."""
+    meta_ok=NULL/mismatch='unverifiable' rather than a fake pass. A null
+    or incomplete declared-metadata struct is itself a flaggable defect
+    (meta_ok=False, 'no declared metadata') — exactly the upstream bug
+    class this stage exists to catch, so it must never crash the task."""
+    def check(magic, payload, meta):
+        """-> (meta_ok, mismatch); raises on an unparseable container."""
+        declared = meta if isinstance(meta, dict) else {}
+        if magic in ("png", "jpeg"):
+            w, h = (png_dims if magic == "png" else jpeg_dims)(payload)
+            dw, dh = declared.get("width"), declared.get("height")
+            if dw is None or dh is None:
+                return False, "no declared metadata"
+            if w == dw and h == dh:
+                return True, None
+            return False, f"declared {dw}x{dh}, container says {w}x{h}"
+        if magic == "riff-wav":
+            sr = wav_rate(payload)
+            dsr = declared.get("sample_rate")
+            if dsr is None:
+                return False, "no declared metadata"
+            if sr == dsr:
+                return True, None
+            return False, f"declared {dsr}Hz, container says {sr}Hz"
+        return None, "unverifiable"
+
     def stage(batches):
         for pdf in batches:
             out = []
@@ -423,27 +447,9 @@ def validate_media_meta(media: DataFrame) -> DataFrame:
                     if payload.startswith(sig):
                         magic = name
                         break
-                ok, why = None, "unverifiable"
                 try:
-                    if magic == "png":
-                        w, h = png_dims(payload)
-                        ok = (w == meta["width"] and h == meta["height"])
-                        why = None if ok else (
-                            f"declared {meta['width']}x{meta['height']}, "
-                            f"container says {w}x{h}")
-                    elif magic == "jpeg":
-                        w, h = jpeg_dims(payload)
-                        ok = (w == meta["width"] and h == meta["height"])
-                        why = None if ok else (
-                            f"declared {meta['width']}x{meta['height']}, "
-                            f"container says {w}x{h}")
-                    elif magic == "riff-wav":
-                        sr = wav_rate(payload)
-                        ok = (sr == meta["sample_rate"])
-                        why = None if ok else (
-                            f"declared {meta['sample_rate']}Hz, "
-                            f"container says {sr}Hz")
-                except ValueError as e:
+                    ok, why = check(magic, payload, meta)
+                except (ValueError, TypeError, KeyError) as e:
                     ok, why = False, f"header parse failed: {e}"
                 out.append({"doc_id": doc_id, "media_type": media_type,
                             "magic": magic, "meta_ok": ok, "mismatch": why})

@@ -59,9 +59,19 @@ def mixture_sample(docs: DataFrame, total_n: int, weights: dict[str, float],
     by the same seeded hash rank as ``stratified_sample``. Strata absent
     from ``weights`` contribute nothing; a stratum smaller than its
     quota contributes all it has (the caller reads the shortfall off the
-    output counts). One shuffle on the stratum key; the quota lookup is
+    output counts). ``weights`` must sum to ~1.0 — with a materially
+    smaller sum the largest-remainder bump cannot place every missing
+    row (rem can exceed the stratum count) and the draw would silently
+    under-fill, so a bad mixture spec is an error, not a quiet short
+    sample. One shuffle on the stratum key; the quota lookup is
     a literal CASE chain below ~64 strata, a broadcast join above (a
     10k-entry CASE expression would blow up codegen)."""
+    wsum = sum(weights.values())
+    if abs(wsum - 1.0) > 1e-6:
+        raise ValueError(
+            f"mixture_sample weights must sum to 1.0 (got {wsum:.6f}); "
+            "normalize the mixture spec explicitly — a silent renorm here "
+            "would hide a typo'd recipe")
     floors = {s: int(total_n * w_) for s, w_ in weights.items()}
     rem = total_n - sum(floors.values())
     by_remainder = sorted(  # stratum name as deterministic tie-break

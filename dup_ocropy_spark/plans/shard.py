@@ -1,14 +1,29 @@
 """Packed-shard writer: the terminal stage of the packing pipeline.
 
-``pack_sequences`` decides which training sequence every document starts
-in; this writer lays the documents down so a dataloader can stream them:
-``shard_id = seq_id div seqs_per_shard`` buckets WHOLE sequences (a
-sequence can never straddle two shards — a range/row-count file split
-could tear one mid-sequence, which a dataloader that assigns shards to
-workers would then double-count or truncate), each shard is one output
-partition directory whose rows replay (seq_id, seq_offset) in order, and
-shard size is bounded by ``seqs_per_shard × budget`` tokens. No global
-sort is ever materialized.
+``pack_sequences`` decides which training sequence every document STARTS
+in; this writer lays the documents down so a dataloader can stream them.
+``shard_id = seq_id div seqs_per_shard`` buckets whole sequences, each
+shard is one output partition directory whose rows replay
+(seq_id, seq_offset) in order, and no global sort is ever materialized.
+
+Boundary-document caveat (default mode): a document is bucketed by its
+START sequence, so a document that overhangs its shard's last sequence
+carries the head tokens of the NEXT shard's first sequences with it.
+Consequences a reader must know:
+
+* shards are self-contained only at DOCUMENT granularity — to replay
+  exact fixed-length sequences, consume shards in shard_id order and
+  carry the overhang of each shard's final document into the next;
+* shard token size is bounded by ``seqs_per_shard x budget`` plus the
+  final document's overhang (not strictly by the product).
+
+For shard-parallel dataloaders that must never coordinate, use
+``budget=...`` (self-contained mode): boundary documents are DUPLICATED
+into every shard they touch with explicit ``tok_start``/``tok_len``
+token-slice columns, so each shard alone reconstructs exactly its
+``[shard_id*B, (shard_id+1)*B)`` token range (B = seqs_per_shard x
+budget). The duplication cost is at most one document per shard edge —
+the standard trade for independent shard consumption.
 """
 
 from __future__ import annotations
@@ -17,16 +32,58 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def write_packed_shards(packed: DataFrame, path: str,
-                        seqs_per_shard: int = 1024) -> None:
+                        seqs_per_shard: int = 1024,
+                        budget: int | None = None,
+                        n_tokens_col: str = "n_tokens") -> None:
     """Write a pack_sequences output as dataloader-ready parquet shards.
 
     ``packed`` must carry seq_id/seq_offset (other columns ride along).
-    Output layout: ``<path>/shard_id=K/*.parquet``; every training
-    sequence lives entirely inside one shard directory, and rows within
-    the shard's files are sorted by (seq_id, seq_offset) so a reader
-    replays the concatenated token stream with one sequential scan."""
-    (packed.withColumn("shard_id", F.expr(f"seq_id div {seqs_per_shard}"))
-     .repartition("shard_id")
+    Output layout: ``<path>/shard_id=K/*.parquet``; rows within a shard's
+    files are sorted by (seq_id, seq_offset) so a reader replays the
+    token stream with one sequential scan.
+
+    Default mode buckets each document by its start sequence (see module
+    docstring for the ordered-reader overhang caveat). With ``budget``
+    given (the same budget passed to pack_sequences), boundary documents
+    are split across shard edges instead: every row carries
+    ``tok_start``/``tok_len`` (the token slice of the document belonging
+    to THIS shard) and each shard is fully self-contained. All pure JVM
+    expressions; the explode emits >1 row only for shard-edge documents.
+    """
+    if budget is None:
+        (packed.withColumn("shard_id", F.expr(f"seq_id div {seqs_per_shard}"))
+         .repartition("shard_id")
+         .sortWithinPartitions("shard_id", "seq_id", "seq_offset")
+         .write.mode("overwrite")
+         .partitionBy("shard_id")
+         .parquet(path))
+        return
+
+    B = seqs_per_shard * budget
+    # reconstruct the doc's global token interval [s, s+n) from the
+    # packing metadata, then fan out one row per shard the interval
+    # touches (exact integer arithmetic — div, never float)
+    s = F.col("seq_id") * budget + F.col("seq_offset")
+    n = F.col(n_tokens_col).cast("bigint")
+    with_span = (packed.withColumn("_s", s)
+                 .withColumn("_k0", F.expr(f"_s div {B}"))
+                 .withColumn("_k1",
+                             F.expr(f"(_s + {n_tokens_col} - 1) div {B}")))
+    exploded = (with_span
+                .withColumn("shard_id", F.explode(F.sequence("_k0", "_k1")))
+                .withColumn("_lo", F.greatest(F.col("_s"),
+                                              F.col("shard_id") * B))
+                .withColumn("_hi", F.least(F.col("_s") + n,
+                                           (F.col("shard_id") + 1) * B)))
+    out = (exploded
+           .withColumn("tok_start", (F.col("_lo") - F.col("_s")).cast("bigint"))
+           .withColumn("tok_len", (F.col("_hi") - F.col("_lo")).cast("bigint"))
+           # this slice's own sequence coordinates inside the shard
+           # (exact integer div — doubles lose exactness past 2^53 tokens)
+           .withColumn("seq_id", F.expr(f"_lo div {budget}"))
+           .withColumn("seq_offset", F.col("_lo") % budget)
+           .drop("_s", "_k0", "_k1", "_lo", "_hi"))
+    (out.repartition("shard_id")
      .sortWithinPartitions("shard_id", "seq_id", "seq_offset")
      .write.mode("overwrite")
      .partitionBy("shard_id")

@@ -112,3 +112,75 @@ def test_packing_edge_cases_zero_tokens_and_tiny_budget(spark):
     one = pack_sequences(d, 1).collect()
     assert all(r.seq_offset == 0 for r in one)
     assert {r.doc_id: r.seq_id for r in one} == {0: 0, 1: 3, 2: 3, 3: 5, 4: 5}
+
+
+def test_self_contained_shards_tile_exactly(spark, docs, tmp_path):
+    """budget= mode: each shard alone reconstructs exactly its
+    [k*B, (k+1)*B) token range — boundary docs are duplicated with
+    complementary (tok_start, tok_len) slices, per-doc slices tile
+    [0, n_tokens) with no gap/overlap, and no shard depends on its
+    neighbor (the shard-parallel dataloader contract the default
+    mode cannot give)."""
+    import glob
+
+    from dup_ocropy_spark.plans.shard import write_packed_shards
+
+    budget, sps = 512, 2
+    B = budget * sps
+    packed = pack_sequences(docs, budget, num_partitions=4)
+    out = str(tmp_path / "sc_shards")
+    write_packed_shards(packed, out, seqs_per_shard=sps, budget=budget)
+
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    doc_tokens = {r.doc_id: r.n_tokens for r in docs.collect()}
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    n_multi = 0
+    shard_dirs = sorted(glob.glob(out + "/shard_id=*"),
+                        key=lambda d: int(d.rsplit("=", 1)[1]))
+    assert len(shard_dirs) >= 3
+    for d in shard_dirs:
+        k = int(d.rsplit("=", 1)[1])
+        pdf = pd.concat([pd.read_parquet(f)
+                         for f in sorted(glob.glob(d + "/*.parquet"))])
+        pdf = pdf.sort_values(["seq_id", "seq_offset"])
+        # global token interval of each slice, from its own coordinates
+        starts = (pdf.seq_id * budget + pdf.seq_offset).to_numpy()
+        lens = pdf.tok_len.to_numpy()
+        # slices are contiguous from k*B — the shard replays its range
+        # with one scan and nothing missing (no dependence on shard k-1)
+        lo = k * B
+        for s, ln in zip(starts, lens):
+            assert s == lo, (k, s, lo)
+            lo = s + ln
+        assert lo == min(total_tokens, (k + 1) * B)
+        for r in pdf.itertuples():
+            per_doc.setdefault(int(r.doc_id), []).append(
+                (int(r.tok_start), int(r.tok_len)))
+    # per-doc slices tile [0, n_tokens); boundary docs appear in >1 shard
+    for doc_id, slices in per_doc.items():
+        if doc_tokens[doc_id] == 0:
+            continue
+        slices.sort()
+        if len(slices) > 1:
+            n_multi += 1
+        pos = 0
+        for s, ln in slices:
+            assert s == pos, (doc_id, slices)
+            pos += ln
+        assert pos == doc_tokens[doc_id], (doc_id, slices)
+    assert n_multi >= 1  # the fixture does produce shard-edge docs
+
+
+def test_mixture_sample_rejects_bad_weight_sum(spark):
+    """Weights summing materially below 1.0 would silently under-fill
+    (rem can exceed the stratum count) — a bad mixture spec must raise,
+    not quietly return a short sample."""
+    from dup_ocropy_spark.operators.sampling import mixture_sample
+
+    d = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(20)],
+        "doc_id bigint, lang string")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        mixture_sample(d, 10, {"en": 0.3, "de": 0.3}, "lang")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        mixture_sample(d, 10, {"en": 0.8, "de": 0.4}, "lang")

@@ -442,6 +442,37 @@ def test_validate_media_meta_flags_mislabeled_media(spark):
                        for r in unk)
 
 
+def test_validate_media_meta_null_struct_is_flagged_not_crashed(spark):
+    """A NULL (or incomplete) declared-metadata struct is exactly the
+    upstream-bug class this stage catches: it must flag the row
+    (meta_ok=False, 'no declared metadata'), never crash the task with a
+    TypeError on meta['width']."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.multimodal import (
+        synth_png_media, synth_wav_media, validate_media_meta,
+    )
+
+    meta_t = ("struct<width:int,height:int,sample_rate:int,codec:string>")
+    nulled = (synth_png_media(spark, 2).unionByName(synth_wav_media(spark, 1))
+              .withColumn("meta", F.lit(None).cast(meta_t)))
+    v = validate_media_meta(nulled).collect()
+    assert len(v) == 3
+    assert all(r.meta_ok is False and r.mismatch == "no declared metadata"
+               for r in v), v
+
+    # struct present but the relevant field is null -> same honest flag
+    partial = synth_png_media(spark, 2).withColumn(
+        "meta", F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.col("meta.height"),
+            F.lit("sample_rate"), F.col("meta.sample_rate"),
+            F.lit("codec"), F.col("meta.codec")))
+    vp = validate_media_meta(partial).collect()
+    assert all(r.meta_ok is False and r.mismatch == "no declared metadata"
+               for r in vp), vp
+
+
 def test_auto_decoder_dispatches_by_magic(spark):
     """decoder='auto': PNG rows get real luminance histograms, WAV rows
     real RMS envelopes, opaque formats the deterministic fake — all in
