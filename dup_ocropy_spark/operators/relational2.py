@@ -237,10 +237,14 @@ def a2_xlevenshtein_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           CAST(b.embedding AS DOUBLE[])), 4) AS cos
       FROM (SELECT * FROM embeddings WHERE vec_id < 100) a
       JOIN embeddings b ON b.vec_id > a.vec_id
-    ) WHERE cos >= 0.5
+    ) ORDER BY cos DESC, doc_a, doc_b LIMIT 25
     """,
-    doc="embedding-cosine near-dup pairs: the semantic-dedup variant "
-        "(exact baseline; ann_lsh_topk is the bucketed scale path)",
+    doc="embedding-cosine near-dup: the semantic-dedup variant (exact "
+        "baseline; ann_lsh_topk is the bucketed scale path). Global top-k "
+        "NEAREST pairs rather than a fixed threshold, so the driver always "
+        "hash-checks real cosine pairs — the former cos>=0.5 cut returned "
+        "the empty set on the random-embedding driver corpus, and two "
+        "engines agreeing on 0 rows verifies nothing",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dup_ocropy_spark.operators.similarity import _cosine
@@ -251,5 +255,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
     j = F.broadcast(a).join(b, F.col("doc_b") > F.col("doc_a"))
     cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    # order by the ROUNDED value with the unique (doc_a, doc_b) tie-break
+    # (repo-wide determinism rule); plans as TakeOrderedAndProject —
+    # per-partition heaps, never a global sort
     return (j.select("doc_a", "doc_b", cos.alias("cos"))
-            .where(F.col("cos") >= 0.5))
+            .orderBy(F.desc("cos"), "doc_a", "doc_b").limit(25))
