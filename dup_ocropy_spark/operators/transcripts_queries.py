@@ -20,7 +20,7 @@ from dataclasses import replace as _cfg_replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from dup_ocropy_spark.config import DEFAULT_CONFIG
+from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
 from dup_ocropy_spark.functions.text import normalize_sql
 from dup_ocropy_spark.kernels.classify import STOPWORDS
 from dup_ocropy_spark.operators.registry import register, table
@@ -244,23 +244,62 @@ def extract_documents_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extract_transcripts_synth",
     sql=None,  # full HTML path; equality vs construction GT is in pytest
     doc="extraction over the deterministic synthetic multi-turn transcript "
-        "table (HTML boilerplate strip, tool payloads, edge fixtures)",
+        "table (HTML boilerplate strip, tool payloads, edge fixtures), "
+        "with the H4 conversation-grain reassembly joined back per turn "
+        "(conv_text_md5 / n_turns_with_content) — one driver row covering "
+        "both the turn-grain pipeline and array_sort document assembly "
+        "under stable turn ordering",
 )
 def extract_transcripts_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = synth_transcripts(spark, 80)
-    return (extract(tr)
-            .select("conv_id", "turn_idx", "role", "payload_len", "n_blocks",
-                    "n_content", "extracted_text", "reject_reason"))
-
-
-@register(
-    "conversation_reassembly_synth",
-    sql=None,
-    doc="H4 document assembly at conversation grain over synthetic "
-        "transcripts (array_sort reassembly under stable turn ordering)",
-)
-def conversation_reassembly_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dup_ocropy_spark.plans.extract import conversation_text
 
     tr = synth_transcripts(spark, 80)
-    return conversation_text(extract(tr))
+    out = extract(tr)
+    conv = conversation_text(out).select(
+        "conv_id", F.md5("conv_text").alias("conv_text_md5"),
+        "n_turns_with_content")
+    return (out.select("conv_id", "turn_idx", "role", "payload_len",
+                       "n_blocks", "n_content", "extracted_text",
+                       "reject_reason")
+            .join(conv, "conv_id", "left"))
+
+
+# ---------------------------------------------------------------------------
+# LSTM-recognizer extraction: the reference's ACTUAL recognizer is a
+# bidirectional LSTM (ocropus-rpred:119-131 loads the model,
+# ocrolib/lstm.py:879-884 predictString runs it). This row drives the
+# TinyBiLSTM path (kernels/lstm.py) end-to-end through the driver:
+# trained weights load from the committed JSON artifact (S7 model-load
+# path, sources/models.py) and ride the task closure (~16 KB). The
+# recurrence is genuinely non-SQL (rows-only check); the strong checks
+# are pytest: per-turn bit-equality of the batched path (test_lstm) and
+# Spark-vs-kernel-oracle equality over this exact corpus
+# (test_transcripts_queries).
+# ---------------------------------------------------------------------------
+
+_LSTM_ARTIFACT = __file__.rsplit("/", 2)[0] + "/artifacts/tinybilstm_v1.json"
+
+
+def lstm_config() -> ExtractConfig:
+    from dup_ocropy_spark.sources.models import config_with_model
+
+    return config_with_model(_LSTM_ARTIFACT)
+
+
+@register(
+    "extract_documents_lstm",
+    sql=None,  # LSTM recurrence over block sequences is not SQL-expressible
+    doc="extraction with the trained bidirectional-LSTM recognizer "
+        "(reference rpred's model class): per-block scores from "
+        "TinyBiLSTM forward passes inside the fused kernel stage, "
+        "weights from the committed S7 artifact",
+)
+def extract_documents_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _documents_as_transcripts(spark, sf_dir)
+    out = extract(tr, lstm_config())
+    score = F.round(F.coalesce(F.get("spans", 0)["score"], F.lit(-1.0)), 6)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "payload_len", "n_blocks", "n_content",
+        score.alias("content_score"),
+        "extracted_text", "reject_reason")
