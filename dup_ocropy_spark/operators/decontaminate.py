@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dup_ocropy_spark.plans.cache import persist_shared
+
 NGRAM_WORDS = 8
 
 
@@ -88,7 +90,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     per consumer. Callers that materialize both should release it
     (``spark.catalog.clearCache()``, as jobs/decontaminate_job.py does —
     the repo-wide caching policy from operators/dedup.py)."""
-    verdict = contamination(docs, benchmark, min_ngrams, n).persist()
+    verdict = persist_shared(contamination(docs, benchmark, min_ngrams, n))
     clean = (docs.join(verdict.where(~F.col("contaminated"))
                  .select("doc_id"), "doc_id"))
     stats = verdict.agg(

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dup_ocropy_spark.plans.cache import persist_shared
+
 from dup_ocropy_spark.operators.registry import register, table
 
 # char-shingle parameters shared by jaccard + minhash so results compare
@@ -144,7 +146,7 @@ def jaccard_filtered_shingles(docs: DataFrame) -> DataFrame:
     """Phase-1 artifact: (doc_id, sh) after the stop-shingle cap. The
     two-phase job materializes THIS as a parquet table; the in-memory path
     persists it instead."""
-    sh = shingles_of(docs).persist()
+    sh = persist_shared(shingles_of(docs))
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
     return (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
             .select("doc_id", "sh"))
@@ -155,7 +157,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     # the self-join's two sides) — persist so the explode runs once, not 3x
     # (measured ~1.7x at sf0.1; jobs/dedup_job.py --two-phase materializes
     # the filtered-shingle table as parquet instead, the 100 TB pattern)
-    sh2 = jaccard_filtered_shingles(docs).persist()
+    sh2 = persist_shared(jaccard_filtered_shingles(docs))
     return jaccard_pairs_from(sh2, threshold)
 
 
@@ -235,7 +237,7 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # both sides of the bucket self-join read the signatures: persist so the
     # shingle explode + 32-hash agg run once (3x at sf0.1;
     # jobs/dedup_job.py --two-phase materializes the signature table)
-    sig = minhash_signatures(sh).persist()
+    sig = persist_shared(minhash_signatures(sh))
     return minhash_pairs_from(sig)
 
 
@@ -321,7 +323,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     # persist: the self-join would otherwise run the Python signature UDF
     # twice (measured 2x wall at sf0.1; jobs/dedup_job.py --two-phase
     # materializes the signature table as parquet instead)
-    return simhash_pairs_from(simhash_signatures(docs).persist())
+    return simhash_pairs_from(persist_shared(simhash_signatures(docs)))
 
 
 def simhash_pairs_from(sig: DataFrame) -> DataFrame:

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from dup_ocropy_spark.plans.cache import persist_shared
+
 from dup_ocropy_spark.kernels import charlm
 from dup_ocropy_spark.operators.sampling import deterministic_sample
 
@@ -84,7 +86,7 @@ def perplexity_filter(docs: DataFrame, table: np.ndarray,
     ``scored`` is persisted for the cut/clean/stats consumers; callers
     that materialize the outputs should ``spark.catalog.clearCache()``
     (the repo-wide caching policy from operators/dedup.py)."""
-    scored = lm_scores(docs, table, text_col).persist()
+    scored = persist_shared(lm_scores(docs, table, text_col))
     cut = scored.agg(F.percentile_approx(
         "lm_logprob", 1.0 - keep_fraction).alias("c")).collect()[0].c
     keep = (F.lit(False) if cut is None  # every doc unscorable

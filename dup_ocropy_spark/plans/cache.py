@@ -1,0 +1,51 @@
+"""Tracked persist for shared intermediates (library cache discipline).
+
+Several operators persist() a derived frame that feeds multiple
+downstream branches (shingle sets, minhash/simhash signatures, quality
+scores, contamination verdicts) — without the persist Spark recomputes
+the branch per consumer (2-3x measured, PLANS.md rule 7). But a lazy
+library function cannot unpersist before its caller has materialized the
+result, so round 3 left the blocks cached for the session lifetime and
+jobs worked around it with ``spark.catalog.clearCache()`` — which also
+evicts caches the USER owns.
+
+This module is the narrow fix: operators register their persists via
+``persist_shared``; the consuming job/test calls ``release_shared()``
+after its terminal action and exactly the library's own blocks are
+freed. The two-phase job modes (materialize signatures to parquet, then
+join from the re-read table) remain the documented 100 TB path — they
+never hold executor-memory residency at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_shared(df: DataFrame) -> DataFrame:
+    """persist() a multi-consumer intermediate and track it for
+    ``release_shared``. Returns the persisted frame."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_shared() -> int:
+    """Unpersist every tracked intermediate (most-recent first); returns
+    how many were released. Safe to call repeatedly / with nothing
+    tracked. Non-blocking eviction — executors drop blocks async."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
+def n_tracked() -> int:
+    return len(_TRACKED)

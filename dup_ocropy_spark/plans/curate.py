@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dup_ocropy_spark.plans.cache import persist_shared
+
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
 from dup_ocropy_spark.operators.dedup import exact_keep_first, minhash_candidates
 from dup_ocropy_spark.plans.extract import conversation_text, extract
@@ -77,7 +79,7 @@ def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
     # redact BEFORE quality/dedup: masked docs that differ only in the
     # PII value dedup together, and the model never sees the identifier
     docs = redact_pii(docs)
-    scored = quality_columns(docs).persist()
+    scored = persist_shared(quality_columns(docs))
     quality = scored.where(F.col("is_quality"))
     # exact dedup keyed on conv_id directly — no surrogate hash, so a
     # 64-bit collision between distinct conv_ids can never drop a
@@ -90,7 +92,7 @@ def curate(transcripts: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
     # drop a non-duplicate; persisted because both the candidate count
     # and the opt-in cluster closure consume the pair set
     keyed = quality.select(F.col("conv_id").alias("doc_id"), "text")
-    near_pairs = minhash_candidates(keyed).persist()
+    near_pairs = persist_shared(minhash_candidates(keyed))
     if near_dedup:
         from dup_ocropy_spark.operators.dedup import dedup_clusters
 

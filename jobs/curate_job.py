@@ -33,6 +33,7 @@ def main(argv: list[str]) -> int:
                          "cluster closure (default: count only)")
     args = ap.parse_args(argv)
 
+    from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.plans.curate import curate
     from dup_ocropy_spark.session import get_spark
 
@@ -44,8 +45,9 @@ def main(argv: list[str]) -> int:
     curated.write.mode("overwrite").parquet(args.output)
     rep = stats.collect()[0].asDict()
     # both consumers of curate()'s persisted intermediates are now
-    # materialized — release the cached blocks before returning
-    spark.catalog.clearCache()
+    # materialized — release exactly the library's tracked blocks
+    # (clearCache would also evict caches the user owns)
+    release_shared()
     rep["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(rep))
     return 0

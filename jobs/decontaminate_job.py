@@ -33,6 +33,7 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--ngram-words", type=int, default=8)
     args = ap.parse_args(argv)
 
+    from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.operators.decontaminate import decontaminate
     from dup_ocropy_spark.session import get_spark
 
@@ -44,7 +45,7 @@ def main(argv: list[str]) -> int:
     clean.write.mode("overwrite").parquet(args.output)
     rep = stats.collect()[0].asDict()
     # both consumers of the persisted verdict are materialized — release
-    spark.catalog.clearCache()
+    release_shared()
     rep["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(rep))
     return 0

@@ -63,6 +63,7 @@ def main(argv: list[str]) -> int:
         minhash_signatures, shingles_of, simhash_pairs, simhash_pairs_from,
         simhash_signatures,
     )
+    from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.session import get_spark
 
     spark = get_spark(app_name="dup_ocropy_dedup")
@@ -84,7 +85,7 @@ def main(argv: list[str]) -> int:
         builders[args.method]().write.mode("overwrite").parquet(sig_path)
         # phase 2: pair joins read ONLY the materialized signatures
         sig = spark.read.parquet(sig_path)
-        spark.catalog.clearCache()  # phase-1 shingle persist is done with
+        release_shared()  # phase-1 shingle persist is done with
         if args.method == "jaccard":
             out = jaccard_pairs_from(sig, args.threshold)
         elif args.method == "minhash":
@@ -98,6 +99,7 @@ def main(argv: list[str]) -> int:
     else:
         out = simhash_pairs(docs)
     out.write.mode("overwrite").parquet(args.output)
+    release_shared()  # in-memory modes' shingle/signature persists
     n = spark.read.parquet(args.output).count()
     print(json.dumps({"method": args.method, "rows": n,
                       # exact has no signature phase: report what actually ran
