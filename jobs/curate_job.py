@@ -3,11 +3,22 @@
 
     spark-submit --py-files dup_ocropy_spark.zip jobs/curate_job.py \
         --input <transcripts parquet> --output <curated dir> \
-        [--salted] [--near-dedup]
+        [--salted] [--near-dedup] [--since-snapshot <fp table dir>]
 
 extract -> conversation reassembly -> quality gates -> exact dedup, with
 near-dup candidate accounting; writes the curated corpus parquet and
 prints one JSON stats line (every drop accounted for).
+
+``--since-snapshot`` is the daily-ingest mode: the batch is additionally
+deduped against the fingerprint table accumulated by PRIOR runs
+(``dedup.dedup_against_snapshot`` — history state is 16-byte hashes +
+ids, never the corpus), only unseen conversations are written, and the
+survivors' fingerprints are APPENDED to the snapshot dir so the next
+run sees them. Re-running the same batch is idempotent: everything is
+already fingerprinted, so the output is empty and the table does not
+grow. The fingerprint append reads the just-written OUTPUT parquet, not
+the in-flight plan, so the snapshot dir is never read and written in
+one query.
 """
 
 from __future__ import annotations
@@ -22,6 +33,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
+FP_SCHEMA = "conv_id string, fp string"
+
 
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
@@ -31,8 +44,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--near-dedup", action="store_true",
                     help="drop near-duplicates via transitive "
                          "cluster closure (default: count only)")
+    ap.add_argument("--since-snapshot", default=None, metavar="DIR",
+                    help="incremental mode: drop conversations whose "
+                         "normalized fingerprint is already in this "
+                         "parquet table; append new fingerprints to it")
     args = ap.parse_args(argv)
 
+    from dup_ocropy_spark.functions.text import normalized_fp
     from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.plans.curate import curate
     from dup_ocropy_spark.session import get_spark
@@ -41,9 +59,31 @@ def main(argv: list[str]) -> int:
     transcripts = spark.read.parquet(args.input)
     t0 = time.time()
     curated, stats = curate(transcripts, salted=args.salted,
-                        near_dedup=args.near_dedup)
-    curated.write.mode("overwrite").parquet(args.output)
-    rep = stats.collect()[0].asDict()
+                            near_dedup=args.near_dedup)
+
+    if args.since_snapshot:
+        from dup_ocropy_spark.operators.dedup import dedup_against_snapshot
+
+        snap = args.since_snapshot
+        if os.path.exists(os.path.join(snap, "_SUCCESS")) or \
+                (os.path.isdir(snap) and any(
+                    f.endswith(".parquet") for f in os.listdir(snap))):
+            seen = spark.read.parquet(snap)
+        else:
+            seen = spark.createDataFrame([], FP_SCHEMA)
+        fresh, _ = dedup_against_snapshot(curated, seen, id_col="conv_id")
+        fresh.write.mode("overwrite").parquet(args.output)
+        # fingerprint the WRITTEN batch (read-back breaks the
+        # read-modify-write cycle on the snapshot dir), append-only
+        written = spark.read.parquet(args.output)
+        written.select("conv_id", normalized_fp("text").alias("fp")) \
+            .write.mode("append").parquet(snap)
+        rep = stats.collect()[0].asDict()
+        rep["n_written"] = written.count()
+        rep["n_snapshot_dropped"] = rep["n_after_exact_dedup"] - rep["n_written"]
+    else:
+        curated.write.mode("overwrite").parquet(args.output)
+        rep = stats.collect()[0].asDict()
     # both consumers of curate()'s persisted intermediates are now
     # materialized — release exactly the library's tracked blocks
     # (clearCache would also evict caches the user owns)

@@ -413,3 +413,44 @@ def test_ingest_then_curate_job_chain(spark, tmp_path, capsys):
     assert rep2["n_convs"] == 2 and rep2["n_after_exact_dedup"] == 1
     curated = spark.read.parquet(str(tmp_path / "curated"))
     assert curated.count() == 1
+
+
+def test_curate_job_since_snapshot_two_day_ingest(spark, tmp_path, capsys):
+    """Daily-ingest e2e: day 1 fills the fingerprint table; day 2's batch
+    (a superset re-dump) writes ONLY the genuinely new conversations and
+    appends only their fingerprints; re-running day 2 is idempotent
+    (empty output, no table growth)."""
+    day1 = str(tmp_path / "day1")
+    day2 = str(tmp_path / "day2")
+    snap = str(tmp_path / "fp_snapshot")
+    synth_transcripts(spark, 30).write.mode("overwrite").parquet(day1)
+    # day-2 dump re-delivers day-1's 30 convs plus 15 new ones
+    synth_transcripts(spark, 45).write.mode("overwrite").parquet(day2)
+
+    out1 = str(tmp_path / "out1")
+    rep1 = _run(curate_job, ["--input", day1, "--output", out1,
+                             "--since-snapshot", snap], capsys)
+    assert rep1["n_snapshot_dropped"] == 0      # empty history: nothing dropped
+    assert rep1["n_written"] == rep1["n_after_exact_dedup"] > 0
+    n_fp_day1 = spark.read.parquet(snap).count()
+    assert n_fp_day1 == rep1["n_written"]
+
+    out2 = str(tmp_path / "out2")
+    rep2 = _run(curate_job, ["--input", day2, "--output", out2,
+                             "--since-snapshot", snap], capsys)
+    # every day-1 conversation is dropped as already-seen
+    assert rep2["n_snapshot_dropped"] == rep1["n_written"]
+    assert rep2["n_written"] > 0
+    day2_ids = {r.conv_id for r in spark.read.parquet(out2).collect()}
+    day1_ids = {r.conv_id for r in spark.read.parquet(out1).collect()}
+    assert day2_ids and not (day2_ids & day1_ids)
+    # fingerprint table grew append-only by exactly the new survivors
+    n_fp_day2 = spark.read.parquet(snap).count()
+    assert n_fp_day2 == n_fp_day1 + rep2["n_written"]
+
+    # idempotent re-run of day 2: all seen, zero written, no table growth
+    out3 = str(tmp_path / "out3")
+    rep3 = _run(curate_job, ["--input", day2, "--output", out3,
+                             "--since-snapshot", snap], capsys)
+    assert rep3["n_written"] == 0
+    assert spark.read.parquet(snap).count() == n_fp_day2
