@@ -60,15 +60,41 @@ def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS,
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
+# Auto broadcast guard: above this many benchmark characters the distinct
+# hashed-gram relation stops being executor-broadcastable. The estimate:
+# ~1 gram start per ~6 chars (avg word+space), ~48 bytes per entry in the
+# broadcast hash relation -> 64M chars ~ 10.7M grams ~ 0.5 GB. Published
+# eval batteries are a few MB of text (<< the cap); the shuffle path
+# exists for decontaminating against a large prior CORPUS (e.g. a test
+# split of the training set itself), where the gram relation is
+# corpus-sized and must stay distributed.
+BENCH_BROADCAST_MAX_CHARS = 64_000_000
+
+
 def contamination(docs: DataFrame, benchmark: DataFrame,
-                  min_ngrams: int = 2, n: int = NGRAM_WORDS) -> DataFrame:
+                  min_ngrams: int = 2, n: int = NGRAM_WORDS,
+                  broadcast: bool | None = None) -> DataFrame:
     """(doc_id, n_hits, contaminated) for every training doc: how many of
     its distinct word n-grams appear anywhere in the benchmark. Both
-    inputs need (doc_id, text)."""
-    bench_grams = F.broadcast(
+    inputs need (doc_id, text).
+
+    ``broadcast=None`` (auto) measures the benchmark's total text size
+    (one tiny agg on the SMALL side — never touches the corpus) and
+    broadcasts its gram set only under ``BENCH_BROADCAST_MAX_CHARS``;
+    above it, the join runs as an ordinary shuffle join on the 8-byte
+    gram hash (AQE picks SMJ/shuffled-hash), the corpus paying one
+    exchange of its exploded grams instead of an un-broadcastable build
+    side. Hit counts are identical either way (test-pinned)."""
+    if broadcast is None:
+        total_chars = benchmark.agg(
+            F.sum(F.length("text")).alias("c")).collect()[0]["c"] or 0
+        broadcast = total_chars <= BENCH_BROADCAST_MAX_CHARS
+    bench_grams = (
         word_ngrams(benchmark.select(F.lit("b").alias("doc_id"), "text"), n,
                     hashed=True)
         .select("gram").distinct())
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
     hits = (word_ngrams(docs.select("doc_id", "text"), n, hashed=True)
             .join(bench_grams, "gram")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
@@ -80,7 +106,8 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
-                  min_ngrams: int = 2, n: int = NGRAM_WORDS
+                  min_ngrams: int = 2, n: int = NGRAM_WORDS,
+                  broadcast: bool | None = None
                   ) -> tuple[DataFrame, DataFrame]:
     """-> (clean docs, 1-row stats). The drop is accounted for, never
     silent (the curation reject-report discipline).
@@ -90,7 +117,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     per consumer. Callers that materialize both should release it
     (``spark.catalog.clearCache()``, as jobs/decontaminate_job.py does —
     the repo-wide caching policy from operators/dedup.py)."""
-    verdict = persist_shared(contamination(docs, benchmark, min_ngrams, n))
+    verdict = persist_shared(
+        contamination(docs, benchmark, min_ngrams, n, broadcast))
     clean = (docs.join(verdict.where(~F.col("contaminated"))
                  .select("doc_id"), "doc_id"))
     stats = verdict.agg(

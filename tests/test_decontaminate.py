@@ -98,3 +98,53 @@ def test_corpus_ngrams_dedupe_without_a_shuffle(frames):
     if gram_exchanges:
         assert plan.index("BroadcastExchange") \
             < plan.index("hashpartitioning(gram"), plan
+
+
+def test_shuffle_fallback_for_unbroadcastable_benchmark(spark, frames):
+    """broadcast=False (what auto mode picks past BENCH_BROADCAST_MAX_CHARS)
+    must plan the gram membership check as a shuffle join — no
+    BroadcastExchange feeding it — and produce identical hit counts to
+    the broadcast fast path."""
+    from dup_ocropy_spark.plans.cache import release_shared
+
+    release_shared()  # drop cached verdicts from earlier tests: the cache
+    # manager matches contamination's logical plan regardless of join hints
+    docs, bench = frames
+
+    def grab(broadcast):
+        df = contamination(docs, bench, broadcast=broadcast)
+        plan = df._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+        rows = {r.doc_id: (r.n_hits, r.contaminated) for r in df.collect()}
+        return plan, rows
+
+    bplan, brows = grab(True)
+    splan, srows = grab(False)
+    assert "BroadcastExchange" in bplan, bplan
+    assert "BroadcastExchange" not in splan, splan
+    assert "hashpartitioning(gram" in splan, splan  # real shuffle on the hash
+    assert srows == brows  # same verdicts either way
+
+
+def test_auto_mode_broadcasts_small_sets_and_caps_large(spark, frames):
+    """Auto sizing: a tiny eval set broadcasts; a benchmark whose measured
+    text size exceeds the cap falls back to the shuffle join (cap lowered
+    for the test — the decision logic is what's under test)."""
+    import dup_ocropy_spark.operators.decontaminate as d
+    from dup_ocropy_spark.plans.cache import release_shared
+
+    release_shared()
+    docs, bench = frames
+    plan_small = contamination(docs, bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_small
+
+    old = d.BENCH_BROADCAST_MAX_CHARS
+    d.BENCH_BROADCAST_MAX_CHARS = 10  # force "too big to broadcast"
+    try:
+        plan_big = contamination(docs, bench) \
+            ._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+    finally:
+        d.BENCH_BROADCAST_MAX_CHARS = old
+    assert "BroadcastExchange" not in plan_big, plan_big
