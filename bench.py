@@ -68,6 +68,15 @@ def timed_noop(df) -> float:
     return time.time() - t0
 
 
+def _spread(samples: list[float]) -> list[float]:
+    """[min, median, max] — the shared-host microVM makes single samples
+    (and even min-of-3) ambiguous between plan drift and host contention;
+    recording the spread per query distinguishes them (a contended run
+    shows min far below median; a plan regression moves all three)."""
+    s = sorted(samples)
+    return [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
+
+
 # fat-payload tier: ~0.9 MB payloads (the P1 page-size envelope analog);
 # fixed size — the tier measures the MB-row regime, not corpus scale
 FAT_CONVS = 384
@@ -121,14 +130,17 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     n_turns = transcripts.count()
 
     queries: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     # headline: full extraction over the transcript table (warm the Python
     # workers first so cold-start import time isn't measured, then best of 3
     # — this sandbox is a shared-host microVM and run-to-run wall varies
     # +-30% with host contention; min-of-3 samples the uncontended rate)
     extract(transcripts.limit(5000)).write.mode("overwrite").format("noop").save()
-    t_extract = min(timed_noop(extract(transcripts)) for _ in range(3))
+    samples = [timed_noop(extract(transcripts)) for _ in range(3)]
+    t_extract = min(samples)
     queries["extract_transcripts"] = round(t_extract, 3)
+    spread["extract_transcripts"] = _spread(samples)
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_EXTRACT"):
         spark.stop()
@@ -144,10 +156,12 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "quality_score", "extract_documents_classified",
     ]
     for name in bench_names:
-        # min-of-3: shared-host contention showed an 8x outlier on a
-        # single per-query sample (see BENCH/runs.jsonl note)
-        queries[name] = round(min(timed_noop(REGISTRY[name].spark(spark, sf_dir))
-                                  for _ in range(3)), 3)
+        # min-of-3 for the headline number; full [min, med, max] recorded
+        # so contention (wide spread) is distinguishable from plan drift
+        samples = [timed_noop(REGISTRY[name].spark(spark, sf_dir))
+                   for _ in range(3)]
+        queries[name] = round(min(samples), 3)
+        spread[name] = _spread(samples)
         # dedup helpers persist() shared intermediates per invocation;
         # drop them between queries so 3x-sampled runs don't accumulate
         # cached blocks for the session lifetime
@@ -175,8 +189,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
             .write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    queries["dedup_minhash_two_phase"] = round(min(two_phase()
-                                                   for _ in range(3)), 3)
+    samples = [two_phase() for _ in range(3)]
+    queries["dedup_minhash_two_phase"] = round(min(samples), 3)
+    spread["dedup_minhash_two_phase"] = _spread(samples)
     shutil.rmtree(sig_path, ignore_errors=True)
 
     # fat-payload tier: same fused pipeline over ~0.9MB rows with the
@@ -189,8 +204,9 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     fat_cap = arrow_batch_rows_for(FAT_PAYLOAD_BYTES)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(fat_cap))
     try:
-        queries["extract_fat_payloads"] = round(
-            min(timed_noop(extract(fat)) for _ in range(3)), 3)
+        samples = [timed_noop(extract(fat)) for _ in range(3)]
+        queries["extract_fat_payloads"] = round(min(samples), 3)
+        spread["extract_fat_payloads"] = _spread(samples)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(DEFAULT_CONFIG.arrow_batch_rows))
@@ -217,18 +233,27 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         spark.catalog.clearCache()
         return time.time() - t0
 
-    queries["decontaminate"] = round(min(decon() for _ in range(3)), 3)
+    samples = [decon() for _ in range(3)]
+    queries["decontaminate"] = round(min(samples), 3)
+    spread["decontaminate"] = _spread(samples)
 
     lm_table = fit_char_lm(bench_docs, sample=2048)
-    queries["lm_score"] = round(
-        min(timed_noop(lm_scores(bench_docs, lm_table)) for _ in range(3)), 3)
+    samples = [timed_noop(lm_scores(bench_docs, lm_table)) for _ in range(3)]
+    queries["lm_score"] = round(min(samples), 3)
+    spread["lm_score"] = _spread(samples)
 
     total = round(sum(queries.values()), 3)
+    # the round-2 suite (stable across rounds): new bench entries keep
+    # the full total from being comparable round-over-round, so the core
+    # subtotal is reported alongside (judge note, round 3)
+    core = ["extract_transcripts", *bench_names]
     result = {
         "metric": "extract+operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "spread": spread,
+        "suite_core": round(sum(queries[q] for q in core), 3),
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,
