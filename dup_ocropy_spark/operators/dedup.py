@@ -12,12 +12,13 @@ full shingle join with b tiny bucket joins whose keys are
 (band, minhash-of-band) — each bucket is small by construction and
 AQE's skew-join splits any pathological bucket.
 
-Caching: the pair helpers ``persist()`` shared intermediates (shingles /
-signatures) for the duration of one invocation and leave release to the
-caller — long-lived sessions that invoke them repeatedly should
-``spark.catalog.clearCache()`` between invocations (bench.py does), or
-use the two-phase job mode which materializes the signature table to
-parquet instead of executor memory.
+Caching: the pair helpers persist shared intermediates (shingles /
+signatures) through ``plans/cache.persist_shared``; the consuming
+job/test calls ``plans.cache.release_shared()`` after its terminal
+action, which frees exactly the library's blocks (asserted in
+test_cache_discipline). The two-phase job mode sidesteps executor-memory
+residency entirely by materializing the signature table to parquet —
+the documented 100 TB production path.
 """
 
 from __future__ import annotations
