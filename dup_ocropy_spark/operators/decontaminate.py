@@ -40,23 +40,37 @@ def word_ngrams(d: DataFrame, n: int = NGRAM_WORDS,
     # leading \n/\t would otherwise inject an empty first "word" and a
     # malformed n-gram covering n-1 real words
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    n_starts = F.size(words) - (n - 1)
-    starts = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
-        .otherwise(F.array().cast("array<int>"))
-    # with hashed=True each gram becomes an int64 INSIDE the transform.
-    # Local wall is unchanged (gram construction dominates), but the
-    # broadcast hash relation holds 8-byte longs instead of ~n*6-byte
-    # strings — ~6x smaller per key, which is what bounds the executor
-    # memory when the eval side is a full benchmark battery rather than
-    # this repo's test fixtures. (A 2^-64 collision adds one phantom hit
-    # to a thresholded count — the standard trade for n-gram membership.)
-    def _gram(i):
-        g = F.array_join(F.slice(words, i, n), " ")
-        return F.xxhash64(g) if hashed else g
 
-    grams = F.transform(starts, _gram)
-    # per-doc dedupe with array_distinct BEFORE the explode: a row-level
-    # .distinct() here would shuffle every exploded n-gram of the corpus
+    def _starts(arr):
+        n_starts = F.size(arr) - (n - 1)
+        return F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)) \
+            .otherwise(F.array().cast("array<int>"))
+
+    if hashed:
+        # each word is xxhash64'd ONCE into a materialized array column,
+        # and a gram is the xxhash64 of its n word-hashes — no
+        # per-position slice+array_join string is ever built (the
+        # construction cost that dominated this operator's wall,
+        # SCALE.md 6a), and the membership relation holds 8-byte longs
+        # instead of ~n*6-byte strings. The word-hash array MUST live in
+        # its own projection: referenced 8x by the gram lambda, an
+        # inlined expression would re-hash the whole array per access
+        # (measured O(n^2): 4s -> 30s). Gram identity is hash-of-hashes;
+        # both sides share the definition, and a 2^-64 collision adds
+        # one phantom hit to a thresholded count — the standard trade.
+        wh = F.transform(words, lambda w: F.xxhash64(w))
+        base = d.select("doc_id", wh.alias("_wh"))
+        grams = F.transform(
+            _starts(F.col("_wh")),
+            lambda i: F.xxhash64(*[F.get(F.col("_wh"), i + F.lit(j) - 1)
+                                   for j in range(n)]))
+        # per-doc dedupe with array_distinct BEFORE the explode: a
+        # row-level .distinct() would shuffle the whole explosion
+        return base.select("doc_id",
+                           F.explode(F.array_distinct(grams)).alias("gram"))
+
+    grams = F.transform(_starts(words),
+                        lambda i: F.array_join(F.slice(words, i, n), " "))
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
