@@ -2,8 +2,9 @@
 
 from dup_ocropy_spark.streaming.extract_stream import (
     deduped_stream, extracted_stream, near_deduped_stream,
-    start_extract_stream, windowed_throughput,
+    snapshot_deduped_stream, start_extract_stream, windowed_throughput,
 )
 
 __all__ = ["deduped_stream", "extracted_stream", "near_deduped_stream",
-           "start_extract_stream", "windowed_throughput"]
+           "snapshot_deduped_stream", "start_extract_stream",
+           "windowed_throughput"]

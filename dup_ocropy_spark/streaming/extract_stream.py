@@ -167,6 +167,33 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     return out.drop(*[f"band{b}" for b in range(STREAM_BANDS)])
 
 
+def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup against the BATCH fingerprint table — the
+    lambda-architecture handoff: nightly ``curate_job --since-snapshot``
+    appends accepted fingerprints (16-byte state), and the live stream
+    drops anything already in the corpus BEFORE paying extraction, then
+    exact-dedups within itself inside the watermark (the batch table
+    covers history; the watermark state covers the current window — a
+    turn seen twice in one day and absent from last night's snapshot is
+    caught by the second stage).
+
+    Plumbing: one stream-static left-anti join on fp (the static side is
+    re-read per micro-batch, so snapshot appends are picked up without a
+    restart; no streaming state for the join itself) + one
+    dropDuplicatesWithinWatermark. Same ``normalized_fp`` definition as
+    batch ``dedup_against_snapshot`` — the two regimes agree on what
+    'already ingested' means by construction."""
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    cols, payload = _payload_and_cols(stream)
+    return (stream.select(*cols)
+            .withColumn("fp", normalized_fp(payload))
+            .join(seen_fps.select("fp"), "fp", "left_anti")
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def start_extract_stream(spark: SparkSession, input_path: str, output_path: str,
                          checkpoint_path: str,
                          config: ExtractConfig = DEFAULT_CONFIG):

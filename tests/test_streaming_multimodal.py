@@ -496,3 +496,62 @@ def test_auto_decoder_dispatches_by_magic(spark):
     assert spoofed and all(not r.decode_ok for r in spoofed)
     opaque = [r for r in spoof if r.magic in ("ogg", "mp4ish", "jpeg", "unknown")]
     assert opaque and all(r.decode_ok for r in opaque)  # fake stand-in
+
+
+def test_snapshot_deduped_stream_drops_batch_history(spark, tmp_path):
+    """Lambda handoff: payloads whose normalized fingerprint is already in
+    the BATCH fingerprint table (curate_job --since-snapshot state) are
+    dropped by the stream before extraction; unseen payloads survive, and
+    in-stream duplicates still dedup within the watermark. The static
+    side is re-read per micro-batch, so a snapshot append between batches
+    takes effect without a stream restart."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.functions.text import normalized_fp
+    from dup_ocropy_spark.streaming import snapshot_deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    texts = [f"payload number {i} with plenty of distinct words" for i in range(6)]
+
+    def rows(ids, minute):
+        return pd.DataFrame({
+            "conv_id": [f"c{i}" for i in ids],
+            "turn_idx": pd.array(ids, dtype="int32"),
+            "role": "user",
+            "text": [texts[i % 6] for i in ids],
+            "tool": "",
+            "ts": [base + dt.timedelta(minutes=minute)] * len(ids),
+        })
+
+    # batch history: texts 0 and 1 already ingested (same fp definition
+    # as dedup_against_snapshot)
+    snap = str(tmp_path / "fp_snap")
+    spark.createDataFrame(rows([0, 1], 0)) \
+        .select("conv_id", normalized_fp("text").alias("fp")) \
+        .write.mode("overwrite").parquet(snap)
+
+    src = tmp_path / "snap_in"
+    src.mkdir()
+    # batch 1: 0 (seen), 2, 3; batch 2: 1 (seen), a dup of 2, and new 4
+    spark.createDataFrame(rows([0, 2, 3], 0)).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(rows([1, 2, 4], 5)).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(
+                  "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = (snapshot_deduped_stream(stream, spark.read.parquet(snap),
+                                 watermark="1 hour")
+         .writeStream.format("memory").queryName("snap_dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.sql("SELECT text FROM snap_dedup_out").toPandas()["text"])
+    # 0 and 1 blocked by history; 2 once (watermark dedup); 3 and 4 new
+    assert got == sorted([texts[2], texts[3], texts[4]])
