@@ -116,6 +116,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
 
     import dup_ocropy_spark.operators as ops
     from dup_ocropy_spark.operators.registry import REGISTRY
+    from dup_ocropy_spark.plans.cache import release_shared
 
     ops.load_all()
     extra = {}
@@ -162,10 +163,11 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
                    for _ in range(3)]
         queries[name] = round(min(samples), 3)
         spread[name] = _spread(samples)
-        # dedup helpers persist() shared intermediates per invocation;
-        # drop them between queries so 3x-sampled runs don't accumulate
-        # cached blocks for the session lifetime
-        spark.catalog.clearCache()
+        # dedup helpers persist shared intermediates per invocation;
+        # release the TRACKED blocks between queries (the repo's cache
+        # discipline — also empties the tracker, which clearCache alone
+        # would leave growing for the whole suite)
+        release_shared()
 
     # two-phase dedup wall: phase-1 signature materialization (parquet)
     # + phase-2 pair join from the re-read table — the 100TB job pattern
@@ -230,7 +232,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         t0 = time.time()
         clean, _ = decontaminate(bench_docs, bench_eval)
         clean.write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
+        release_shared()
         return time.time() - t0
 
     samples = [decon() for _ in range(3)]

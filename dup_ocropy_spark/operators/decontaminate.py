@@ -126,11 +126,13 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     """-> (clean docs, 1-row stats). The drop is accounted for, never
     silent (the curation reject-report discipline).
 
-    The verdict is persisted — clean and stats both consume it, and
-    without the persist the corpus-wide n-gram scan would execute once
-    per consumer. Callers that materialize both should release it
-    (``spark.catalog.clearCache()``, as jobs/decontaminate_job.py does —
-    the repo-wide caching policy from operators/dedup.py)."""
+    The verdict is persisted via ``plans/cache.persist_shared`` — clean
+    and stats both consume it, and without the persist the corpus-wide
+    n-gram scan would execute once per consumer. Callers that
+    materialize both release it with ``plans.cache.release_shared()``
+    (as jobs/decontaminate_job.py does), which frees exactly the
+    library's tracked blocks — never ``clearCache()``, which would also
+    evict caches the user owns."""
     verdict = persist_shared(
         contamination(docs, benchmark, min_ngrams, n, broadcast))
     clean = (docs.join(verdict.where(~F.col("contaminated"))

@@ -83,9 +83,11 @@ def perplexity_filter(docs: DataFrame, table: np.ndarray,
     unscorable docs (null/empty text -> null lm_logprob) are DROPPED and
     COUNTED, so n_docs == kept + n_dropped always.
 
-    ``scored`` is persisted for the cut/clean/stats consumers; callers
-    that materialize the outputs should ``spark.catalog.clearCache()``
-    (the repo-wide caching policy from operators/dedup.py)."""
+    ``scored`` is persisted via ``plans/cache.persist_shared`` for the
+    cut/clean/stats consumers; callers that materialize the outputs
+    release it with ``plans.cache.release_shared()`` (frees exactly the
+    library's tracked blocks; ``clearCache()`` would evict user-owned
+    caches too)."""
     scored = persist_shared(lm_scores(docs, table, text_col))
     cut = scored.agg(F.percentile_approx(
         "lm_logprob", 1.0 - keep_fraction).alias("c")).collect()[0].c

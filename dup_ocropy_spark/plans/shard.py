@@ -62,18 +62,24 @@ def write_packed_shards(packed: DataFrame, path: str,
     B = seqs_per_shard * budget
     # reconstruct the doc's global token interval [s, s+n) from the
     # packing metadata, then fan out one row per shard the interval
-    # touches (exact integer arithmetic — div, never float)
+    # touches (exact integer arithmetic — div, never float). n is
+    # null-guarded and clamped to >=1 for the END-shard computation only:
+    # a zero-token doc (pack_sequences supports them) must emit exactly
+    # ONE tok_len=0 row in its start shard — the raw (s + n - 1) div B
+    # would underflow below _k0 and F.sequence(k0, k0-1) DESCENDS,
+    # emitting a spurious row into the previous shard.
     s = F.col("seq_id") * budget + F.col("seq_offset")
-    n = F.col(n_tokens_col).cast("bigint")
+    n = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
     with_span = (packed.withColumn("_s", s)
+                 .withColumn("_n", n)
                  .withColumn("_k0", F.expr(f"_s div {B}"))
-                 .withColumn("_k1",
-                             F.expr(f"(_s + {n_tokens_col} - 1) div {B}")))
+                 .withColumn("_k1", F.expr(
+                     f"(_s + greatest(_n, 1L) - 1) div {B}")))
     exploded = (with_span
                 .withColumn("shard_id", F.explode(F.sequence("_k0", "_k1")))
                 .withColumn("_lo", F.greatest(F.col("_s"),
                                               F.col("shard_id") * B))
-                .withColumn("_hi", F.least(F.col("_s") + n,
+                .withColumn("_hi", F.least(F.col("_s") + F.col("_n"),
                                            (F.col("shard_id") + 1) * B)))
     out = (exploded
            .withColumn("tok_start", (F.col("_lo") - F.col("_s")).cast("bigint"))
@@ -82,9 +88,13 @@ def write_packed_shards(packed: DataFrame, path: str,
            # (exact integer div — doubles lose exactness past 2^53 tokens)
            .withColumn("seq_id", F.expr(f"_lo div {budget}"))
            .withColumn("seq_offset", F.col("_lo") % budget)
-           .drop("_s", "_k0", "_k1", "_lo", "_hi"))
+           .drop("_s", "_n", "_k0", "_k1", "_lo", "_hi"))
+    # zero-token docs share (seq_id, seq_offset) with their successor, so
+    # the in-file sort gets tok_len + doc order columns as tie-breaks
+    # (deterministic files under any partitioning — the repo-wide rule)
+    ties = [c for c in ("tok_len", "doc_id") if c in out.columns]
     (out.repartition("shard_id")
-     .sortWithinPartitions("shard_id", "seq_id", "seq_offset")
+     .sortWithinPartitions("shard_id", "seq_id", "seq_offset", *ties)
      .write.mode("overwrite")
      .partitionBy("shard_id")
      .parquet(path))

@@ -167,23 +167,44 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     return out.drop(*[f"band{b}" for b in range(STREAM_BANDS)])
 
 
+def turn_fingerprints(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, fp): TURN-grain normalized fingerprints over
+    the same payload preference (tool over text) the streaming stages
+    use. This is what a nightly batch job materializes for
+    ``snapshot_deduped_stream`` — it is NOT the conversation-grain table
+    ``curate_job --since-snapshot`` keeps (those fps hash redacted
+    reassembled conv_text and can never match a raw turn payload; the
+    grains must not be mixed)."""
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    cols, payload = _payload_and_cols(transcripts)
+    keep = [c for c in ("conv_id", "turn_idx") if c in cols]
+    return transcripts.select(*keep, normalized_fp(payload).alias("fp"))
+
+
 def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
                             watermark: str = "1 hour") -> DataFrame:
-    """Streaming dedup against the BATCH fingerprint table — the
-    lambda-architecture handoff: nightly ``curate_job --since-snapshot``
-    appends accepted fingerprints (16-byte state), and the live stream
-    drops anything already in the corpus BEFORE paying extraction, then
-    exact-dedups within itself inside the watermark (the batch table
-    covers history; the watermark state covers the current window — a
-    turn seen twice in one day and absent from last night's snapshot is
-    caught by the second stage).
+    """Streaming dedup against a batch-maintained TURN-grain fingerprint
+    table: the live stream drops payloads already ingested by prior batch
+    runs BEFORE paying extraction, then exact-dedups within itself inside
+    the watermark (the table covers history; the watermark state covers
+    the current window).
 
-    Plumbing: one stream-static left-anti join on fp (the static side is
-    re-read per micro-batch, so snapshot appends are picked up without a
-    restart; no streaming state for the join itself) + one
-    dropDuplicatesWithinWatermark. Same ``normalized_fp`` definition as
-    batch ``dedup_against_snapshot`` — the two regimes agree on what
-    'already ingested' means by construction."""
+    Grain contract: ``seen_fps`` must be turn-payload fingerprints —
+    build it with ``turn_fingerprints`` over the batch corpus. The
+    conversation-grain table ``curate_job --since-snapshot`` accumulates
+    hashes of redacted reassembled conversation text, which can never
+    equal a raw turn payload's fp; wiring that table in here would make
+    the anti-join silently match nothing.
+
+    Plumbing: one stream-static left-anti join on fp (no streaming state
+    for the join) + one dropDuplicatesWithinWatermark. Caveat: a
+    parquet-backed static side caches its FILE LISTING at
+    ``spark.read.parquet`` time — rows appended to the snapshot dir are
+    NOT seen by later micro-batches until
+    ``spark.catalog.refreshByPath(dir)`` is called or the stream
+    restarts. For a daily-append table, refresh (or restart) after each
+    batch publish."""
     from dup_ocropy_spark.functions.text import normalized_fp
 
     cols, payload = _payload_and_cols(stream)

@@ -50,7 +50,6 @@ def main(argv: list[str]) -> int:
                          "parquet table; append new fingerprints to it")
     args = ap.parse_args(argv)
 
-    from dup_ocropy_spark.functions.text import normalized_fp
     from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.plans.curate import curate
     from dup_ocropy_spark.session import get_spark
@@ -62,25 +61,41 @@ def main(argv: list[str]) -> int:
                             near_dedup=args.near_dedup)
 
     if args.since_snapshot:
-        from dup_ocropy_spark.operators.dedup import dedup_against_snapshot
+        from pyspark.errors import AnalysisException
+
+        from dup_ocropy_spark.operators.dedup import (
+            dedup_against_snapshot, doc_fingerprints,
+        )
 
         snap = args.since_snapshot
-        if os.path.exists(os.path.join(snap, "_SUCCESS")) or \
-                (os.path.isdir(snap) and any(
-                    f.endswith(".parquet") for f in os.listdir(snap))):
+        # probe through Spark, not os.path: the snapshot lives on
+        # whatever filesystem the job runs against (HDFS/S3/local) — a
+        # local-only existence check would silently treat a remote table
+        # as absent and re-ingest the entire batch
+        try:
             seen = spark.read.parquet(snap)
-        else:
+            seen.schema  # force resolution
+        except AnalysisException:
             seen = spark.createDataFrame([], FP_SCHEMA)
         fresh, _ = dedup_against_snapshot(curated, seen, id_col="conv_id")
         fresh.write.mode("overwrite").parquet(args.output)
         # fingerprint the WRITTEN batch (read-back breaks the
-        # read-modify-write cycle on the snapshot dir), append-only
+        # read-modify-write cycle on the snapshot dir), append-only;
+        # doc_fingerprints = the same normalized_fp definition the
+        # anti-join used (single source of truth)
         written = spark.read.parquet(args.output)
-        written.select("conv_id", normalized_fp("text").alias("fp")) \
+        doc_fingerprints(written, id_col="conv_id") \
             .write.mode("append").parquet(snap)
         rep = stats.collect()[0].asDict()
         rep["n_written"] = written.count()
-        rep["n_snapshot_dropped"] = rep["n_after_exact_dedup"] - rep["n_written"]
+        # separate the two drop causes (the accounting discipline):
+        # history drops = curated rows whose fp is already in the
+        # snapshot; the remainder are within-batch normalized-fp dups
+        # collapsed by dedup_against_snapshot's keep-first window
+        n_unseen = doc_fingerprints(curated, id_col="conv_id") \
+            .join(seen.select("fp"), "fp", "left_anti").count()
+        rep["n_snapshot_dropped"] = rep["n_after_exact_dedup"] - n_unseen
+        rep["n_batch_normfp_dropped"] = n_unseen - rep["n_written"]
     else:
         curated.write.mode("overwrite").parquet(args.output)
         rep = stats.collect()[0].asDict()

@@ -184,3 +184,44 @@ def test_mixture_sample_rejects_bad_weight_sum(spark):
         mixture_sample(d, 10, {"en": 0.3, "de": 0.3}, "lang")
     with pytest.raises(ValueError, match="sum to 1.0"):
         mixture_sample(d, 10, {"en": 0.8, "de": 0.4}, "lang")
+
+
+def test_self_contained_shards_zero_token_docs(spark, tmp_path):
+    """Zero-token (and NULL-token) docs must emit exactly ONE tok_len=0
+    row in their start shard — the naive (s + n - 1) div B end-shard
+    underflows below the start shard and F.sequence() DESCENDS, emitting
+    a spurious row into the PREVIOUS shard (and a null n_tokens would
+    silently drop the doc from the shards entirely)."""
+    import glob
+
+    from dup_ocropy_spark.plans.shard import write_packed_shards
+
+    budget, sps = 4, 2   # B = 8
+    # doc 1: zero tokens exactly at a shard boundary (s=8); doc 3: null
+    d = spark.createDataFrame(
+        [(0, 8), (1, 0), (2, 5), (3, None), (4, 3)],
+        "doc_id bigint, n_tokens bigint")
+    packed = pack_sequences(d.fillna(0, ["n_tokens"]), budget)
+    # re-attach the null to exercise the writer's own guard
+    packed = packed.withColumn(
+        "n_tokens", F.when(F.col("doc_id") == 3, F.lit(None).cast("bigint"))
+        .otherwise(F.col("n_tokens")))
+    out = str(tmp_path / "zt_shards")
+    write_packed_shards(packed, out, seqs_per_shard=sps, budget=budget)
+
+    rows = pd.concat([pd.read_parquet(f)
+                      for f in sorted(glob.glob(out + "/shard_id=*/*.parquet"))],
+                     keys=[int(p.split("shard_id=")[1].split("/")[0])
+                           for p in sorted(glob.glob(out + "/shard_id=*/*.parquet"))])
+    by_doc = {int(r.doc_id): [] for _, r in rows.iterrows()}
+    for (shard, _), r in rows.iterrows():
+        by_doc[int(r.doc_id)].append((shard, int(r.tok_len)))
+    # every doc present exactly where it belongs
+    assert by_doc[1] == [(1, 0)]       # zero-token at s=8 -> shard 1 only
+    assert by_doc[3] == [(1, 0)]       # null-token doc kept, not dropped
+    assert sorted(by_doc[0]) == [(0, 8)]
+    assert sorted(by_doc[2]) == [(1, 5)]
+    assert sorted(by_doc[4]) == [(1, 3)]
+    # shard_id always equals seq_id div seqs_per_shard for every row
+    for (shard, _), r in rows.iterrows():
+        assert int(r.seq_id) // sps == shard, (shard, dict(r))

@@ -499,18 +499,19 @@ def test_auto_decoder_dispatches_by_magic(spark):
 
 
 def test_snapshot_deduped_stream_drops_batch_history(spark, tmp_path):
-    """Lambda handoff: payloads whose normalized fingerprint is already in
-    the BATCH fingerprint table (curate_job --since-snapshot state) are
-    dropped by the stream before extraction; unseen payloads survive, and
-    in-stream duplicates still dedup within the watermark. The static
-    side is re-read per micro-batch, so a snapshot append between batches
-    takes effect without a stream restart."""
+    """Batch->stream handoff: payloads whose TURN-grain fingerprint is in
+    the batch-maintained table (built with turn_fingerprints — NOT the
+    conversation-grain curate_job table, whose fps hash reassembled
+    redacted conv_text and can never match a raw turn) are dropped by
+    the stream before extraction; unseen payloads survive, and in-stream
+    duplicates still dedup within the watermark."""
     import datetime as dt
 
     import pandas as pd
 
-    from dup_ocropy_spark.functions.text import normalized_fp
-    from dup_ocropy_spark.streaming import snapshot_deduped_stream
+    from dup_ocropy_spark.streaming import (
+        snapshot_deduped_stream, turn_fingerprints,
+    )
 
     base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
     texts = [f"payload number {i} with plenty of distinct words" for i in range(6)]
@@ -528,8 +529,7 @@ def test_snapshot_deduped_stream_drops_batch_history(spark, tmp_path):
     # batch history: texts 0 and 1 already ingested (same fp definition
     # as dedup_against_snapshot)
     snap = str(tmp_path / "fp_snap")
-    spark.createDataFrame(rows([0, 1], 0)) \
-        .select("conv_id", normalized_fp("text").alias("fp")) \
+    turn_fingerprints(spark.createDataFrame(rows([0, 1], 0))) \
         .write.mode("overwrite").parquet(snap)
 
     src = tmp_path / "snap_in"
