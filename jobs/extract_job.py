@@ -49,6 +49,13 @@ def main(argv: list[str]) -> int:
                          "use when the input layout clusters conversations "
                          "(time-ordered ingest); unnecessary for hash-"
                          "scrambled or bucket(conv_id) layouts")
+    ap.add_argument("--turn-fp-out", default=None, metavar="DIR",
+                    help="also append TURN-grain payload fingerprints of "
+                         "this batch to DIR — the table "
+                         "streaming.snapshot_deduped_stream anti-joins "
+                         "so the live stream skips already-ingested turns "
+                         "(distinct from curate_job's conversation-grain "
+                         "snapshot)")
     args = ap.parse_args(argv)
 
     from dup_ocropy_spark.config import ExtractConfig
@@ -78,12 +85,23 @@ def main(argv: list[str]) -> int:
         n_rows = spark.read.parquet(args.output).count()
     wall = time.time() - t0
 
+    n_fps = None
+    if args.turn_fp_out:
+        from dup_ocropy_spark.streaming import turn_fingerprints
+
+        fps = turn_fingerprints(transcripts)
+        fps.write.mode("append").parquet(args.turn_fp_out)
+        n_fps = spark.read.parquet(args.turn_fp_out).count()
+        # a running stream must re-list the grown table to see the batch
+        spark.catalog.refreshByPath(args.turn_fp_out)
+
     rep = reject_report(extract(transcripts, config)).collect()
     print(json.dumps({
         "rows": n_rows,
         "wall_sec": round(wall, 1),
         "turns_per_sec": round(n_rows / wall, 1) if wall else None,
         "rejects": {str(r["reject_reason"]): r["n_turns"] for r in rep},
+        **({"turn_fps_total": n_fps} if n_fps is not None else {}),
     }))
     return 0
 

@@ -454,3 +454,28 @@ def test_curate_job_since_snapshot_two_day_ingest(spark, tmp_path, capsys):
                              "--since-snapshot", snap], capsys)
     assert rep3["n_written"] == 0
     assert spark.read.parquet(snap).count() == n_fp_day2
+
+
+def test_extract_job_turn_fp_out_feeds_stream_snapshot(spark, transcripts_path,
+                                                       tmp_path, capsys):
+    """--turn-fp-out appends the TURN-grain fingerprint table the stream's
+    snapshot dedup anti-joins: contents match turn_fingerprints() on the
+    same input, and a second batch grows the table append-only."""
+    from dup_ocropy_spark.streaming import turn_fingerprints
+
+    out = str(tmp_path / "ext_out")
+    fp_dir = str(tmp_path / "turn_fps")
+    rep = _run(extract_job, ["--input", transcripts_path, "--output", out,
+                             "--buckets", "0", "--turn-fp-out", fp_dir],
+               capsys)
+    want = turn_fingerprints(spark.read.parquet(transcripts_path))
+    n_want = want.count()
+    assert rep["turn_fps_total"] == n_want
+    got = spark.read.parquet(fp_dir)
+    assert got.orderBy("conv_id", "turn_idx").collect() == \
+        want.orderBy("conv_id", "turn_idx").collect()
+    # second run appends (the daily-batch pattern); table grows
+    rep2 = _run(extract_job, ["--input", transcripts_path, "--output", out,
+                              "--buckets", "0", "--turn-fp-out", fp_dir],
+                capsys)
+    assert rep2["turn_fps_total"] == 2 * n_want
