@@ -237,6 +237,57 @@ def ivf_topk_of(e: DataFrame, nprobe: int = IVF_NPROBE,
                  .where(F.col("rk") <= top_k).drop("rk")
 
 
+def ivf_assign_multi(emb: DataFrame, centroids: np.ndarray,
+                     m: int = 2) -> DataFrame:
+    """(vec_id, embedding, cell) with each vector fanned out to its m
+    NEAREST cells (soft assignment). Near-identical vectors have
+    near-identical centroid dots, so a near-dup pair split across a cell
+    boundary still shares at least one of its top-m cells with high
+    probability — the standard boundary fix for cell-bucketed pairing."""
+    dots = _cell_dots(centroids)
+    topm = F.slice(F.transform(
+        F.array_sort(F.zip_with(dots,
+                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                                lambda d, i: F.struct((-d).alias("negd"),
+                                                      i.alias("cell")))),
+        lambda s: s["cell"]), 1, m)
+    return emb.select("vec_id", "embedding",
+                      F.explode(topm.cast("array<int>")).alias("cell"))
+
+
+def embedding_neardup_pairs(e: DataFrame, threshold: float = 0.9,
+                            m_assign: int = 2, k: int = IVF_K) -> DataFrame:
+    """Corpus-scale semantic near-dup PAIRS: (doc_a, doc_b, cos >=
+    threshold) via IVF cell-local joins — the bucketed path that replaces
+    ``dedup_embedding_cosine``'s exact all-pairs baseline at scale
+    (SemDeDup-style: Abbas et al. 2023 dedup within k-means clusters).
+
+    Shape: quantizer trained on a seeded bounded sample; every vector
+    soft-assigned to its ``m_assign`` nearest cells (pure JVM dots); the
+    pair join runs per cell (equi-join on cell id, AQE splits a skewed
+    cell), never across the whole corpus. Every emitted pair's cosine is
+    computed exactly, so precision is 1.0 by construction; recall is
+    gated in tests (a near-dup pair is missed only when the two vectors
+    share none of their top-m cells). Feeds ``dedup.dedup_clusters`` for
+    transitive closure like the text-based pair sources."""
+    from dup_ocropy_spark.plans.cache import persist_shared
+
+    C = ivf_train_centroids(e, k=k)
+    assigned = persist_shared(ivf_assign_multi(e, C, m_assign))
+    a = assigned.select(F.col("cell"),
+                        F.col("vec_id").alias("doc_a"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("cell"),
+                        F.col("vec_id").alias("doc_b"),
+                        F.col("embedding").alias("eb"))
+    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    return (a.join(b, ["cell"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .distinct())  # a pair may co-occur in up to m_assign cells
+
+
 @register(
     "embed_norms",
     sql="""

@@ -9,8 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _n_cached(spark) -> int:
-    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+def _cached_ids(spark) -> set[int]:
+    return {info.id() for info in
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
 
 @pytest.fixture()
@@ -27,14 +28,17 @@ def test_dedup_helpers_release_their_persists(spark, docs):
     from dup_ocropy_spark.plans.cache import n_tracked, release_shared
 
     release_shared()  # clean slate (other tests may have left tracked frames)
-    n0 = _n_cached(spark)
+    # id-set baseline, not a count: unrelated blocks (e.g. another test's
+    # localCheckpoint RDDs) can be GC'd asynchronously mid-test by the
+    # ContextCleaner, which would shift a count baseline under us
+    base = _cached_ids(spark)
     for op in (jaccard_pairs, minhash_candidates, simhash_pairs):
         op(docs).count()  # materialize the consuming action
     assert n_tracked() >= 3
-    assert _n_cached(spark) > n0  # the persists really existed
+    assert _cached_ids(spark) - base  # the persists really existed
     release_shared()
     assert n_tracked() == 0
-    assert _n_cached(spark) == n0  # and really got freed
+    assert not (_cached_ids(spark) - base)  # and really got freed
 
 
 def test_curate_releases_after_terminal_action(spark):
@@ -43,15 +47,15 @@ def test_curate_releases_after_terminal_action(spark):
     from dup_ocropy_spark.sources.transcripts import synth_transcripts
 
     release_shared()
-    n0 = _n_cached(spark)
+    base = _cached_ids(spark)
     curated, stats = curate(synth_transcripts(spark, 30))
     n_rows = curated.count()
     stats.collect()
     assert n_rows > 0
-    assert _n_cached(spark) > n0
+    assert _cached_ids(spark) - base
     released = release_shared()
     assert released >= 2  # scored + near_pairs (+ nested minhash sig)
-    assert _n_cached(spark) == n0
+    assert not (_cached_ids(spark) - base)
 
 
 def test_release_shared_is_idempotent_and_safe_empty(spark):

@@ -208,3 +208,41 @@ def test_ann_lsh_recall_vs_exact_topk(spark, ann_dir):
     assert len(truth) == 15, "fixture must plant 3 near neighbors per query"
     recall = len(truth & got) / len(truth)
     assert recall >= 0.85, f"ann lsh recall of near neighbors {recall:.3f} < 0.85"
+
+
+def test_embedding_neardup_pairs_recall_vs_exact(spark, ann_dir):
+    """Cell-bucketed semantic near-dup pairs (SemDeDup shape): recall of
+    planted high-cosine pairs vs the exact all-pairs twin, with
+    precision 1.0 by construction (every emitted cosine is computed
+    exactly). Soft assignment (m=2) covers cell-boundary pairs."""
+    from dup_ocropy_spark.operators.similarity import (
+        _cosine, embedding_neardup_pairs,
+    )
+    from dup_ocropy_spark.plans.cache import release_shared
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{ann_dir}/embeddings.parquet")
+    # exact all-pairs truth at the same threshold
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    exact = (a.join(b, F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
+             .where(F.col("cos") >= 0.8).toPandas())
+    truth = set(map(tuple, exact[["doc_a", "doc_b"]].to_numpy()))
+    assert len(truth) >= 15, "fixture must plant enough high-cosine pairs"
+
+    got_pdf = embedding_neardup_pairs(e, threshold=0.8).toPandas()
+    release_shared()
+    got = set(map(tuple, got_pdf[["doc_a", "doc_b"]].to_numpy()))
+    # precision 1.0: every returned pair is in the exact truth set
+    assert got <= truth, got - truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"cell-bucketed near-dup recall {recall:.3f} < 0.9"
+    # and the pair relation feeds cluster closure like the text sources
+    from dup_ocropy_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        e.select(F.col("vec_id").alias("doc_id")),
+        got_pdf.pipe(spark.createDataFrame)).toPandas()
+    assert clusters.keep.sum() < len(clusters)  # planted dups collapsed
