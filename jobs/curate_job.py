@@ -3,7 +3,8 @@
 
     spark-submit --py-files dup_ocropy_spark.zip jobs/curate_job.py \
         --input <transcripts parquet> --output <curated dir> \
-        [--salted] [--near-dedup] [--since-snapshot <fp table dir>]
+        [--salted] [--near-dedup] [--since-snapshot <fp table dir>] \
+        [--decontaminate <benchmark parquet>] [--lm-keep-fraction 0.9]
 
 extract -> conversation reassembly -> quality gates -> exact dedup, with
 near-dup candidate accounting; writes the curated corpus parquet and
@@ -48,7 +49,17 @@ def main(argv: list[str]) -> int:
                     help="incremental mode: drop conversations whose "
                          "normalized fingerprint is already in this "
                          "parquet table; append new fingerprints to it")
+    ap.add_argument("--decontaminate", default=None, metavar="BENCH_DIR",
+                    help="drop conversations sharing word-8-grams with "
+                         "the (doc_id, text) benchmark parquet at this "
+                         "path (GPT-3 App. C hygiene)")
+    ap.add_argument("--lm-keep-fraction", type=float, default=None,
+                    metavar="F", help="fit a char-bigram LM on the batch "
+                         "and keep only the best-F perplexity fraction "
+                         "(CCNet recipe); e.g. 0.9 drops the worst 10%%")
     args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from dup_ocropy_spark.plans.cache import release_shared
     from dup_ocropy_spark.plans.curate import curate
@@ -59,6 +70,32 @@ def main(argv: list[str]) -> int:
     t0 = time.time()
     curated, stats = curate(transcripts, salted=args.salted,
                             near_dedup=args.near_dedup)
+    extra_stats: dict = {}
+
+    if args.decontaminate:
+        from dup_ocropy_spark.operators.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.decontaminate)
+        clean, dstats = decontaminate(
+            curated.select(F.col("conv_id").alias("doc_id"), "text"), bench)
+        curated = curated.join(
+            clean.select(F.col("doc_id").alias("conv_id")), "conv_id")
+        d = dstats.collect()[0].asDict()
+        extra_stats["n_contaminated_dropped"] = d["n_contaminated"]
+
+    if args.lm_keep_fraction is not None:
+        from dup_ocropy_spark.operators.lmquality import (
+            fit_char_lm, perplexity_filter,
+        )
+
+        keyed = curated.select(F.col("conv_id").alias("doc_id"), "text")
+        lm = fit_char_lm(keyed)
+        clean, lstats = perplexity_filter(keyed, lm,
+                                          keep_fraction=args.lm_keep_fraction)
+        curated = curated.join(
+            clean.select(F.col("doc_id").alias("conv_id")), "conv_id")
+        ls = lstats.collect()[0].asDict()
+        extra_stats["n_lm_dropped"] = ls["n_dropped"]
 
     if args.since_snapshot:
         from pyspark.errors import AnalysisException
@@ -89,12 +126,16 @@ def main(argv: list[str]) -> int:
         rep = stats.collect()[0].asDict()
         rep["n_written"] = written.count()
         # separate the two drop causes (the accounting discipline):
-        # history drops = curated rows whose fp is already in the
+        # history drops = candidate rows whose fp is already in the
         # snapshot; the remainder are within-batch normalized-fp dups
-        # collapsed by dedup_against_snapshot's keep-first window
+        # collapsed by dedup_against_snapshot's keep-first window. The
+        # candidate baseline is the post-extra-filter count, not
+        # n_after_exact_dedup, when --decontaminate/--lm ran.
+        n_candidates = (curated.count() if extra_stats
+                        else rep["n_after_exact_dedup"])
         n_unseen = doc_fingerprints(curated, id_col="conv_id") \
             .join(seen.select("fp"), "fp", "left_anti").count()
-        rep["n_snapshot_dropped"] = rep["n_after_exact_dedup"] - n_unseen
+        rep["n_snapshot_dropped"] = n_candidates - n_unseen
         rep["n_batch_normfp_dropped"] = n_unseen - rep["n_written"]
     else:
         curated.write.mode("overwrite").parquet(args.output)
@@ -103,6 +144,7 @@ def main(argv: list[str]) -> int:
     # materialized — release exactly the library's tracked blocks
     # (clearCache would also evict caches the user owns)
     release_shared()
+    rep.update(extra_stats)
     rep["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(rep))
     return 0

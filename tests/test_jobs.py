@@ -479,3 +479,38 @@ def test_extract_job_turn_fp_out_feeds_stream_snapshot(spark, transcripts_path,
                               "--buckets", "0", "--turn-fp-out", fp_dir],
                 capsys)
     assert rep2["turn_fps_total"] == 2 * n_want
+
+
+def test_curate_job_decontaminate_and_lm_flags(spark, tmp_path, capsys):
+    """The one-CLI curation recipe: --decontaminate drops a planted
+    benchmark leak, --lm-keep-fraction drops the perplexity tail, and
+    both drops appear in the stats line (nothing silent)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    tr = synth_transcripts(spark, 25)
+    # plant a benchmark leak as one conversation's only content: a long
+    # distinctive sentence that will survive extraction verbatim
+    leak = ("the quick benchmark question about the photosynthesis energy "
+            "transfer pathways in a c4 plant under the drought stress "
+            "answered with a mitochondrial background detail for the "
+            "contamination test of a curation pipeline ")
+    leak_row = spark.createDataFrame(
+        [("convLEAK", 0, "user", leak * 3, "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    tr.unionByName(leak_row).write.mode("overwrite").parquet(src)
+
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame([("b1", leak)], "doc_id string, text string") \
+        .write.mode("overwrite").parquet(bench_dir)
+
+    out = str(tmp_path / "out")
+    rep = _run(curate_job, ["--input", src, "--output", out,
+                            "--decontaminate", bench_dir,
+                            "--lm-keep-fraction", "0.9"], capsys)
+    assert rep["n_contaminated_dropped"] >= 1
+    assert rep["n_lm_dropped"] >= 1
+    written = spark.read.parquet(out)
+    assert written.where(F.col("conv_id") == "convLEAK").count() == 0
+    assert written.count() > 0
