@@ -24,6 +24,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--model-out", required=True)
     ap.add_argument("--context", action="store_true",
                     help="train the bidirectional-context variant (L6 analog)")
+    ap.add_argument("--lstm", action="store_true",
+                    help="train the TinyBiLSTM recognizer (L4/L5) by "
+                         "rule-label distillation and save an 'lstm' "
+                         "artifact — how artifacts/tinybilstm_v1.json "
+                         "was produced (n_convs x epochs below)")
+    ap.add_argument("--lstm-convs", type=int, default=60)
     ap.add_argument("--sample", type=int, default=100_000)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--calibrate", action="store_true",
@@ -39,6 +45,18 @@ def main(argv: list[str]) -> int:
     from dup_ocropy_spark.sources.models import save_model
 
     spark = get_spark(app_name="dup_ocropy_train")
+
+    if args.lstm:
+        from dup_ocropy_spark.operators.train import train_lstm
+
+        model, acc = train_lstm(n_convs=args.lstm_convs, epochs=args.epochs)
+        save_model(args.model_out, model.to_flat(), 0.0, kind="lstm",
+                   meta={"train_accuracy": acc, "epochs": args.epochs,
+                         "n_convs": args.lstm_convs, "seed": 42})
+        print(json.dumps({"model": args.model_out, "kind": "lstm",
+                          "train_accuracy": round(acc, 4)}))
+        return 0
+
     transcripts = spark.read.parquet(args.input)
     w, b, acc = train_classifier(transcripts, context=args.context,
                                  sample=args.sample, epochs=args.epochs)

@@ -514,3 +514,23 @@ def test_curate_job_decontaminate_and_lm_flags(spark, tmp_path, capsys):
     written = spark.read.parquet(out)
     assert written.where(F.col("conv_id") == "convLEAK").count() == 0
     assert written.count() > 0
+
+
+def test_train_job_lstm_artifact_roundtrip(spark, transcripts_path, tmp_path,
+                                           capsys):
+    """--lstm writes a loadable 'lstm' artifact whose config drives the
+    extraction pipeline (the provenance path for the committed
+    tinybilstm_v1.json artifact, at test-sized epochs)."""
+    from dup_ocropy_spark.sources.models import config_with_model
+
+    out = str(tmp_path / "lstm.json")
+    rep = _run(train_job, ["--input", transcripts_path, "--model-out", out,
+                           "--lstm", "--lstm-convs", "12", "--epochs", "8"],
+               capsys)
+    assert rep["kind"] == "lstm"
+    cfg = config_with_model(out)
+    assert cfg.classifier == "lstm" and len(cfg.weights) == 2041
+    from dup_ocropy_spark.plans.extract import extract
+
+    got = extract(synth_transcripts(spark, 5), cfg)
+    assert got.count() > 0
