@@ -105,6 +105,7 @@ class _Assembler:
     def __init__(self, payload: str, forced: list[int] | None):
         self.payload = payload
         self.forced = sorted(set(forced or []))
+        self._forced_set = set(self.forced)
         self.blocks: list[Block] = []
         # pending segments: (start, end, decoded_text, link_chars, boiler)
         self.segs: list[tuple[int, int, str, int, bool]] = []
@@ -138,6 +139,12 @@ class _Assembler:
         if s >= e:
             return
         if self.forced:
+            # a boundary exactly AT the slice start must still split: the
+            # pending text accumulated from earlier slices (e.g. across an
+            # inline tag) flushes before this slice begins — the strict
+            # s < p filter below can't see it
+            if s in self._forced_set and self.segs:
+                self.flush()
             # forced boundary offsets inside this slice (mask-join analog)
             bounds = [s] + [p for p in self.forced if s < p < e] + [e]
             for i in range(len(bounds) - 1):
@@ -186,7 +193,7 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
     boiler_stack: list[str] = []
 
     for m in _TAG_RE.finditer(payload):
-        closing_s, name, selfclose_s = m.group(1, 2, 4)
+        closing_s, name, attrs_s, selfclose_s = m.group(1, 2, 3, 4)
         if raw_until is not None:
             # inside a raw-text element: only the matching close tag ends it
             if closing_s == "/" and (name or "").lower() == raw_until:
@@ -200,8 +207,15 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
         if name:
             name = name.lower()
             closing = closing_s == "/"
-            selfclose = selfclose_s == "/"
-            if name == "a":
+            # the greedy attribute group consumes a trailing '/' when
+            # attributes are present ('<a href="#"/>' -> attrs ' href="#"/',
+            # group 4 empty), so self-close must also look at the attr tail
+            selfclose = (selfclose_s == "/"
+                         or (attrs_s or "").rstrip().endswith("/"))
+            if name == "a" and not selfclose:
+                # a self-closing <a/> has no content: counting it open
+                # would mark ALL subsequent text as link chars (density
+                # 1.0 -> everything boilerplate) with no close to undo it
                 a_depth = a_depth + 1 if not closing else max(0, a_depth - 1)
             if name in BLOCK_TAGS:
                 if asm.segs:  # skip the call for adjacent block tags

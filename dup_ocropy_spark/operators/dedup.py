@@ -226,7 +226,8 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     "dedup_minhash_lsh",
     sql=None,  # hash functions differ across engines -> rows-only check
     doc="MinHash+LSH candidate pairs: shingle -> 32 seeded minhashes -> "
-        "8 banded bucket keys -> per-bucket pair join (the 100TB-scale path; "
+        "16 banded bucket keys (16x2: S-curve threshold 0.25) -> "
+        "per-bucket pair join (the 100TB-scale path; "
         "bucket joins replace the quadratic shingle self-join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +278,12 @@ def _simhash_batch(batches):
         # relative to token count; per-occurrence blake2b dominated profiles)
         token_cache: dict[str, int] = {}
         for i, text in enumerate(pdf["text"]):
-            tokens = str(text).lower().split()
+            # string guard: str(None/NaN) would tokenize as the word
+            # 'none'/'nan', giving every null-text doc the IDENTICAL
+            # simhash (O(k^2) phantom pairs over k null docs)
+            if not isinstance(text, str):
+                continue
+            tokens = text.lower().split()
             if not tokens:
                 continue
             for t in tokens:

@@ -123,10 +123,10 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_profile",
     sql="""
     SELECT source,
-           CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
-           CAST(quantile_cont(n_chars, 0.50) AS DOUBLE) AS p50,
-           CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75,
-           CAST(quantile_cont(n_chars, 0.95) AS DOUBLE) AS p95
+           round(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 4) AS p25,
+           round(CAST(quantile_cont(n_chars, 0.50) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 4) AS p75,
+           round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95
     FROM documents GROUP BY source
     """,
     doc="percentile profile of payload sizes per source (capacity-planning "
@@ -135,5 +135,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return (d.groupBy("source")
-            .agg(*[F.percentile("n_chars", F.lit(q)).alias(f"p{int(q*100)}")
+            # rounded 4dp BOTH sides (repo invariant): the two engines'
+            # linear interpolation can differ in the last ulp
+            .agg(*[F.round(F.percentile("n_chars", F.lit(q)), 4)
+                   .alias(f"p{int(q*100)}")
                    for q in (0.25, 0.50, 0.75, 0.95)]))

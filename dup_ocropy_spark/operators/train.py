@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from dup_ocropy_spark.config import DEFAULT_CONFIG
 from dup_ocropy_spark.kernels.classify import (
@@ -101,6 +101,20 @@ def block_training_frame(transcripts: DataFrame, context: bool = False) -> DataF
                                                  schema=schema)
 
 
+def _sample_features(features: DataFrame, sample: int,
+                     context: bool) -> pd.DataFrame:
+    """Deterministic bounded training draw: ordered by a seeded hash of
+    the FULL row (the frame has no natural key) with the row itself as
+    tie-break, cut at ``sample`` — TakeOrdered per-partition heaps, never
+    a bare ``limit()`` (the repo-wide rule: limit takes whichever
+    partitions answer first, so the fitted weights would depend on the
+    partitioning; identical rows tie harmlessly — either copy is the
+    same training row). Also pins ROW ORDER, so the float accumulation
+    in gradient sums is reproducible across cluster layouts."""
+    cols = [*_feature_names(context), "label"]
+    return features.orderBy(F.xxhash64(*cols), *cols).limit(sample).toPandas()
+
+
 def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
                  lr: float = 0.5, seed: int = 42, context: bool = False,
                  curve: list | None = None) -> tuple[np.ndarray, float]:
@@ -110,7 +124,14 @@ def fit_logistic(features: DataFrame, sample: int = 100_000, epochs: int = 300,
     tuples — the reference's training-error curve (A7,
     ``ocropus-rtrain:277-330`` prints err per round; see
     ``training_curve_frame`` for the smoothed MovingStats view)."""
-    pdf = features.limit(sample).toPandas()
+    pdf = _sample_features(features, sample, context)
+    return _fit_logistic_pdf(pdf, epochs=epochs, lr=lr, seed=seed,
+                             context=context, curve=curve)
+
+
+def _fit_logistic_pdf(pdf: pd.DataFrame, epochs: int = 300, lr: float = 0.5,
+                      seed: int = 42, context: bool = False,
+                      curve: list | None = None) -> tuple[np.ndarray, float]:
     X = pdf[list(_feature_names(context))].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy(dtype=np.float64)
     # standardize for conditioning, fold the scaling back into the weights
@@ -255,8 +276,13 @@ def train_classifier(transcripts: DataFrame, context: bool = False,
     24 features) for ``ExtractConfig(classifier='logistic_ctx')``.
     """
     feats = block_training_frame(transcripts, context=context)
-    w, b = fit_logistic(feats, context=context, **fit_kw)
-    pdf = feats.limit(50_000).toPandas()
+    # ONE distributed feature pass: the deterministic sample is collected
+    # once and reused for both the fit and the accuracy measurement (the
+    # old second `feats.limit(50_000)` collect re-ran segmentation over
+    # the whole corpus and measured accuracy on a different row subset)
+    sample = fit_kw.pop("sample", 100_000)
+    pdf = _sample_features(feats, sample, context)
+    w, b = _fit_logistic_pdf(pdf, context=context, **fit_kw)
     X = pdf[list(_feature_names(context))].to_numpy(dtype=np.float64)
     y = pdf["label"].to_numpy()
     pred = (X @ w + b) >= 0

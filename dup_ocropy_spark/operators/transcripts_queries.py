@@ -51,6 +51,21 @@ _GATE_SQL = """
 """
 
 
+# DuckDB's bare trim()/ltrim()/rtrim() strip SPACES only; the kernel
+# strips Python str.isspace() whitespace. Explicit char set keeps the
+# twins faithful on payloads with tabs/newlines at the edges.
+_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+
+def _vis_sql(expr: str) -> str:
+    """The kernel's 'visible block text' in SQL: entity-decoded (the
+    corpus' only entity is &amp;) then whitespace-trimmed. The noise cut
+    (noise_min_chars) applies to THIS, not the raw payload — a ~20-char
+    doc of mostly entities has raw trimmed length >= 8 but decoded
+    visible < 8, which the raw form misclassified as content."""
+    return f"trim(replace({expr}, '&amp;', '&'), {_WS_SQL})"
+
+
 def _norm_sql(expr: str) -> str:
     """Kernel-order normalization of an extracted block in DuckDB: entity
     decode (the corpus' only entity is &amp;) then the FULL homograph
@@ -67,8 +82,10 @@ def _norm_sql(expr: str) -> str:
            length(text) AS payload_len,
            CASE WHEN {_GATE_SQL} IS NOT NULL THEN 0 ELSE 1 END AS n_blocks,
            CASE WHEN {_GATE_SQL} IS NOT NULL
-                     OR length(trim(text)) < 8 THEN 0 ELSE 1 END AS n_content,
-           CASE WHEN {_GATE_SQL} IS NOT NULL OR length(trim(text)) < 8 THEN ''
+                     OR length({_vis_sql('text')}) < 8
+                THEN 0 ELSE 1 END AS n_content,
+           CASE WHEN {_GATE_SQL} IS NOT NULL
+                     OR length({_vis_sql('text')}) < 8 THEN ''
                 ELSE {_norm_sql('text')} END AS extracted_text,
            {_GATE_SQL} AS reject_reason
     FROM documents
@@ -86,15 +103,15 @@ def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "extract_documents_spans",
-    sql="""
+    sql=f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            0 AS block_id,
-           length(text) - length(ltrim(text)) AS span_start,
-           length(rtrim(text)) AS span_end,
+           length(text) - length(ltrim(text, {_WS_SQL})) AS span_start,
+           length(rtrim(text, {_WS_SQL})) AS span_end,
            'content' AS label
     FROM documents
     WHERE length(text) >= 20 AND length(text) <= 1000000
-      AND length(trim(text)) >= 8
+      AND length({_vis_sql('text')}) >= 8
     """,
     doc="span extraction: char extents into the raw payload "
         "(single-block corpus -> one tight span per doc)",
@@ -137,7 +154,7 @@ _CLASSIFIED_SQL = f"""
     WITH f AS (
       SELECT doc_id, text,
              {_GATE_SQL} AS reject_reason,
-             trim(replace(text, '&amp;', '&')) AS t
+             trim(replace(text, '&amp;', '&'), {_WS_SQL}) AS t
       FROM documents
     ), g AS (
       SELECT doc_id, text, reject_reason, t,
@@ -211,13 +228,22 @@ _HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
 @register(
     "extract_documents_html",
     sql=f"""
+    WITH v AS (
+      SELECT doc_id,
+             length({_vis_sql('substr(text, 1, 30)')}) AS hv,
+             length({_vis_sql('text')}) AS bv,
+             {_norm_sql('substr(text, 1, 30)')} AS hn,
+             {_norm_sql('text')} AS bn
+      FROM documents
+    )
     SELECT doc_id,
-           {_norm_sql('substr(text, 1, 30)')}
-             || chr(10) ||
-           {_norm_sql('text')} AS extracted_text,
-           2 AS n_content,
+           CASE WHEN hv >= 8 AND bv >= 8 THEN hn || chr(10) || bn
+                WHEN hv >= 8 THEN hn
+                WHEN bv >= 8 THEN bn
+                ELSE '' END AS extracted_text,
+           CAST(hv >= 8 AS INT) + CAST(bv >= 8 AS INT) AS n_content,
            4 AS n_blocks
-    FROM documents
+    FROM v
     """,
     doc="HTML boilerplate-strip path, DuckDB-verified: documents text is "
         "wrapped in nav/h1/p/script/footer markup JVM-side, the real "

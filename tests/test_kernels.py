@@ -235,3 +235,34 @@ def test_extract_frame_bitwise_equals_per_turn():
             assert got.spans.iloc[i] == want["spans"], (clf, i)
             assert got.reject_reason.iloc[i] == want["reject_reason"], (clf, i)
             assert int(got.n_blocks.iloc[i]) == want["n_blocks"], (clf, i)
+
+
+def test_self_closing_anchor_does_not_poison_link_density():
+    """'<a href="#"/>' must not leave a_depth permanently open: with the
+    greedy attr regex the trailing '/' lands in the attribute group, and
+    an uncorrected open-anchor count marks ALL later text as link chars
+    (density 1.0 -> the rule classifier boilerplates the whole doc)."""
+    from dup_ocropy_spark.kernels.segment import segment_payload
+
+    for payload in ('<p><a href="#"/>See our documentation for details</p>',
+                    "<p><a/>plain anchor selfclose text body</p>"):
+        blocks = segment_payload(payload)
+        assert len(blocks) == 1
+        assert blocks[0].link_chars == 0, payload
+    # a REAL anchor still counts exactly its own text
+    blocks = segment_payload('<p><a href="/x">link text</a> and tail</p>')
+    assert blocks[0].link_chars == len("link text")
+
+
+def test_forced_boundary_at_slice_start_still_splits():
+    """A forced boundary landing exactly where a text slice begins (right
+    after an inline tag) must flush the pending block — the strict
+    s < p < e interior filter alone silently dropped the split."""
+    from dup_ocropy_spark.kernels.segment import segment_payload
+
+    blocks = segment_payload("abcdef<b>ghijkl</b>", forced_boundaries=[9])
+    assert [(b.start, b.end, b.visible) for b in blocks] == \
+        [(0, 6, "abcdef"), (9, 15, "ghijkl")]
+    # interior boundary unchanged; boundary at 0 / past end are no-ops
+    blocks = segment_payload("abcdefghijkl", forced_boundaries=[0, 6, 99])
+    assert [(b.visible) for b in blocks] == ["abcdef", "ghijkl"]

@@ -49,12 +49,20 @@ def special_dir(tmp_path_factory):
         "The ﬂat ﬁle has ligatures — an em dash – an en dash and “curly quotes”.",
         "Ellipsis… prime 5′ double ″ and ‘single curls’ all in one line here.",
     ]
+    padded = [t + " Padding words so the payload clears the minimum gate. " * 2
+              for t in texts]
+    # UNPADDED edge rows (the padding would defeat them):
+    # raw length >= 20 but DECODED visible < noise_min_chars=8 — the
+    # noise cut must apply to entity-decoded text (kernel semantics), not
+    # the raw payload; and tab/newline edges exercise the whitespace-SET
+    # trim in the span/visible twins (bare DuckDB trim strips spaces only)
+    padded.append("&amp;&amp;&amp;&amp;&amp;12")
+    padded.append("\t\n  edge whitespace body words here padded well  \t\n")
     pdf = pd.DataFrame({
-        "doc_id": range(len(texts)),
-        "text": [t + " Padding words so the payload clears the minimum gate. " * 2
-                 for t in texts],
-        "source": ["s0"] * len(texts),
-        "lang": ["en"] * len(texts),
+        "doc_id": range(len(padded)),
+        "text": padded,
+        "source": ["s0"] * len(padded),
+        "lang": ["en"] * len(padded),
     })
     pdf["n_chars"] = pdf["text"].str.len()
     d = tmp_path_factory.mktemp("specialdocs")
