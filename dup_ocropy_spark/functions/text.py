@@ -82,13 +82,22 @@ def project_text_col(col: Column | str, kind: str = "exact") -> Column:
     return F.regexp_replace(c, _PROJECTIONS[kind], "")
 
 
-def normalized_fp(col) -> Column:
-    """The whitespace-collapsed, case-folded md5 content fingerprint —
-    ONE definition shared by quality_score's fp column, the streaming
-    dedup key, and incremental snapshot dedup (a normalization tweak
-    applied anywhere else would silently desynchronize persisted
-    fingerprint tables from freshly computed fps). NOTE: the exact-dedup
-    operators (dedup_exact / exact_keep_first) key on RAW md5(text) —
-    byte-identity, a deliberately stricter relation."""
+def normalized_text(col) -> Column:
+    """The whitespace-collapsed, case-folded comparison form — the ONE
+    normalization chain under every content-identity key (fingerprints,
+    streaming LSH band shingles). Kept as its own helper so a tweak here
+    reaches every consumer at once instead of silently desynchronizing
+    an inlined copy."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def normalized_fp(col) -> Column:
+    """md5 over ``normalized_text`` — ONE definition shared by
+    quality_score's fp column, the streaming dedup key, and incremental
+    snapshot dedup (a normalization tweak applied anywhere else would
+    silently desynchronize persisted fingerprint tables from freshly
+    computed fps). NOTE: the exact-dedup operators (dedup_exact /
+    exact_keep_first) key on RAW md5(text) — byte-identity, a
+    deliberately stricter relation."""
+    return F.md5(normalized_text(col))

@@ -122,7 +122,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id,
              len(string_split_regex(trim(text), '\s+')) AS n_words,
-             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
                / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
              CAST({_word_count_sql('text', 'the')}
                   + {_word_count_sql('text', 'a')} AS DOUBLE)
@@ -144,7 +144,11 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
-    awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words)
+    # strip ALL whitespace, not just spaces: newlines/tabs in multi-line
+    # docs are not word characters (they inflated the metric by ~1 char
+    # per line — enough to flip is_quality near the gate boundary)
+    awl = (F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+           / n_words)
     stop_hits = (_word_count(F.col("text"), "the") + _word_count(F.col("text"), "a"))
     stop_ratio = stop_hits.cast("double") / n_words
     dlf, dwf = repetition_fractions(F.col("text"))

@@ -36,7 +36,10 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     t = F.col(text_col)
     n_words = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
-    awl = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / n_words
+    # strip ALL whitespace: conv_text is \n-joined, and counting the 199
+    # newlines of a 200-turn doc as word chars inflated avg_word_len
+    # enough to flip is_quality near the 2..12 gate boundary
+    awl = (F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_words)
     # case-folded whole-word counts: the ' the ' length-arithmetic form
     # missed sentence-initial 'The' and punctuation-adjacent hits and
     # systematically under-counted as a curation gate

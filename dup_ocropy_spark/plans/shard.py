@@ -51,9 +51,14 @@ def write_packed_shards(packed: DataFrame, path: str,
     expressions; the explode emits >1 row only for shard-edge documents.
     """
     if budget is None:
-        (packed.withColumn("shard_id", F.expr(f"seq_id div {seqs_per_shard}"))
-         .repartition("shard_id")
-         .sortWithinPartitions("shard_id", "seq_id", "seq_offset")
+        out = packed.withColumn("shard_id",
+                                F.expr(f"seq_id div {seqs_per_shard}"))
+        # zero-token docs share (seq_id, seq_offset) with their successor;
+        # doc order columns break the tie so files are byte-deterministic
+        # under any partitioning (the repo-wide rule)
+        ties = [c for c in ("doc_id",) if c in out.columns]
+        (out.repartition("shard_id")
+         .sortWithinPartitions("shard_id", "seq_id", "seq_offset", *ties)
          .write.mode("overwrite")
          .partitionBy("shard_id")
          .parquet(path))

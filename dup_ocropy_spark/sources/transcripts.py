@@ -178,7 +178,7 @@ def turn_count(conv_idx: int, hot_every: int = 0, hot_turns: int = 1200) -> int:
     """Geometric(mean 12) clipped to [1, 300]; every ``hot_every``-th
     conversation is a hot one with ~100x median turns (skew fixture)."""
     rng = np.random.default_rng([42, 7, conv_idx])
-    if hot_every and conv_idx % hot_every == 1:
+    if hot_every and conv_idx % hot_every == 1 % hot_every:
         return hot_turns
     return int(np.clip(rng.geometric(1.0 / 12.0), 1, 300))
 

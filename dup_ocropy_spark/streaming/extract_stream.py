@@ -30,11 +30,13 @@ def transcript_stream(spark: SparkSession, input_path: str,
 def extracted_stream(stream: DataFrame,
                      config: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """Stateless extraction over a streaming DataFrame. The ``ts`` column
-    is carried through for watermarked downstream aggregation."""
-    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool") if c in stream.columns]
-    out = stream.select(*cols).mapInPandas(make_extract_stage(config),
-                                           schema=EXTRACT_SCHEMA)
-    return out
+    (when the stream has one) is carried through for watermarked
+    downstream aggregation — extract_frame passes it untouched."""
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            if c in stream.columns]
+    schema = EXTRACT_SCHEMA + (", ts timestamp" if "ts" in cols else "")
+    return stream.select(*cols).mapInPandas(make_extract_stage(config),
+                                            schema=schema)
 
 
 def windowed_throughput(stream: DataFrame, config: ExtractConfig = DEFAULT_CONFIG,
@@ -74,15 +76,31 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
     Uses dropDuplicatesWithinWatermark so the dedup state is bounded at
     100 TB/day ingest: a fingerprint is only held for `watermark` of
-    event time, not forever."""
+    event time, not forever.
+
+    Payload-less rows (null / whitespace-only) get a per-turn UNIQUE key
+    instead of the shared md5('') — otherwise every empty turn in the
+    window after the first would be silently deleted, while the batch
+    path keeps them with a reject_reason (the never-drop-silently
+    discipline; empty turns are ~3% of the synth corpus)."""
     from dup_ocropy_spark.functions.text import normalized_fp
 
     cols, payload = _payload_and_cols(stream)
-    fp = normalized_fp(payload)
     return (stream.select(*cols)
-            .withColumn("fp", fp)
+            .withColumn("fp", _payload_fp(payload))
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
+
+
+def _payload_fp(payload):
+    """normalized_fp for real payloads; a (conv_id, turn_idx)-unique
+    sentinel for null/blank ones so payload-less turns never dedup."""
+    from dup_ocropy_spark.functions.text import normalized_fp
+
+    blank = payload.isNull() | (F.trim(payload) == "")
+    unique = F.concat_ws(":", F.lit("__empty__"), F.col("conv_id"),
+                         F.col("turn_idx").cast("string"))
+    return F.when(blank, unique).otherwise(normalized_fp(payload))
 
 
 # streaming LSH banding: 4 bands x 2 rows over the same char shingle set
@@ -122,7 +140,7 @@ def _stream_shingles(payload):
                        lambda p: F.substring(payload, p, F.lit(SHINGLE_LEN)))
 
 
-def _stream_band_keys(payload, shingles):
+def _stream_band_keys(payload, shingles, unique_key=None):
     """Band keys from a MATERIALIZED shingle-array column (pass
     ``F.col(...)``, not the raw `_stream_shingles` expression — embedding
     the substring tree in all 8 min subtrees would rebuild it per seed):
@@ -131,12 +149,24 @@ def _stream_band_keys(payload, shingles):
     mins = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
             for k in range(STREAM_BANDS * STREAM_ROWS_PER_BAND)]
     is_short = F.length(payload) < NEAR_DEDUP_MIN_CHARS
-    return [
-        F.when(is_short, F.xxhash64(payload, F.lit(1_000_000 + b)))
-        .otherwise(F.xxhash64(*[mins[b * STREAM_ROWS_PER_BAND + r]
-                                for r in range(STREAM_ROWS_PER_BAND)]))
-        for b in range(STREAM_BANDS)
-    ]
+    # blank payloads (null/whitespace-only normalized text) must never
+    # collide: the short-path xxhash64('') is one constant, which would
+    # silently delete every payload-less turn after the first (the batch
+    # path keeps them with reject_reason). ``unique_key`` is the caller's
+    # per-row identity column for that branch (omit it only for inputs
+    # guaranteed non-blank, e.g. the batch-parity tests).
+    is_blank = payload.isNull() | (F.length(payload) == 0)
+
+    def band_key(b):
+        short_or_min = F.when(
+            is_short, F.xxhash64(payload, F.lit(1_000_000 + b)))             .otherwise(F.xxhash64(*[mins[b * STREAM_ROWS_PER_BAND + r]
+                                    for r in range(STREAM_ROWS_PER_BAND)]))
+        if unique_key is None:
+            return short_or_min
+        return F.when(is_blank,
+                      F.xxhash64(unique_key, F.lit(2_000_000 + b)))             .otherwise(short_or_min)
+
+    return [band_key(b) for b in range(STREAM_BANDS)]
 
 
 def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -155,11 +185,18 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     never enter later state, so a C that only resembles B may survive —
     the batch sweep remains the authority for retroactive cluster closure.
     """
+    from dup_ocropy_spark.functions.text import normalized_text
+
     cols, payload = _payload_and_cols(stream)
-    norm = F.lower(F.trim(F.regexp_replace(payload, r"\s+", " ")))
+    # the SAME normalization chain as normalized_fp — band shingles and
+    # exact fingerprints must agree on content identity (functions/text)
+    norm = normalized_text(payload)
     staged = stream.select(*cols, norm.alias("_norm")) \
         .withColumn("_sh", _stream_shingles(F.col("_norm")))
-    keys = _stream_band_keys(F.col("_norm"), F.col("_sh"))
+    keys = _stream_band_keys(
+        F.col("_norm"), F.col("_sh"),
+        unique_key=F.concat_ws(":", F.col("conv_id"),
+                               F.col("turn_idx").cast("string")))
     out = staged.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])
     out = out.withWatermark("ts", watermark)
     for b in range(STREAM_BANDS):

@@ -9,8 +9,18 @@ of the reference's per-book hOCR assembly.
 
 Event-time timeouts (not processing-time) so results are deterministic
 given the input and replayable from the checkpoint. State is
-per-conversation arrays of (turn_idx, text); emission sorts by turn_idx,
-preserving the per-turn ordering invariant.
+per-conversation arrays of (turn_idx, text) plus the group's max event
+time; emission sorts by turn_idx, preserving the per-turn ordering
+invariant.
+
+Quiet-horizon semantics: the timeout is the conversation's OWN max event
+time plus ``quiet`` (not the global watermark + 1ms — that fired on the
+first micro-batch that happened to carry no turns for the conversation,
+fragmenting one conversation into several partial documents across batch
+boundaries). With quiet >= the watermark delay, an on-time turn can
+never arrive after its conversation has fired; a conversation that
+genuinely resumes after an event-time gap > quiet emits a new document —
+session-window semantics, the honest behavior for unbounded streams.
 """
 
 from __future__ import annotations
@@ -26,52 +36,75 @@ from dup_ocropy_spark.kernels.oracle import EXTRACT_SCHEMA
 from dup_ocropy_spark.plans.extract import make_extract_stage
 
 OUTPUT_SCHEMA = "conv_id string, conv_text string, n_turns int"
-STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+STATE_SCHEMA = "turn_idxs array<int>, texts array<string>, max_ts_ms long"
 
 
-def assemble_conversation(key: tuple, pdfs: Iterable[pd.DataFrame],
-                          state: GroupState) -> Iterable[pd.DataFrame]:
-    """Accumulate (turn_idx, extracted_text); on watermark timeout emit the
-    document assembled in turn order."""
-    (conv_id,) = key
-    if state.hasTimedOut:
-        idxs, texts = state.get
-        order = sorted(range(len(idxs)), key=lambda i: idxs[i])
-        doc = "\n".join(texts[i] for i in order if texts[i])
-        n = len(idxs)
-        state.remove()
-        yield pd.DataFrame([{"conv_id": conv_id, "conv_text": doc, "n_turns": n}])
-        return
-    idxs: list[int] = []
-    texts: list[str] = []
-    if state.exists:
-        old_idxs, old_texts = state.get
-        idxs, texts = list(old_idxs), list(old_texts)
-    for pdf in pdfs:
-        idxs.extend(int(x) for x in pdf["turn_idx"])
-        texts.extend(str(x) for x in pdf["extracted_text"])
-    state.update((idxs, texts))
-    # quiet horizon: fire as soon as the watermark moves past current data
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+def make_assembler(quiet_ms: int):
+    """Assembler closure with the quiet-gap horizon (ms of event time a
+    conversation must stay silent before its document is emitted)."""
+
+    def assemble_conversation(key: tuple, pdfs: Iterable[pd.DataFrame],
+                              state: GroupState) -> Iterable[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            idxs, texts, _ = state.get
+            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            doc = "\n".join(texts[i] for i in order if texts[i])
+            n = len(idxs)
+            state.remove()
+            yield pd.DataFrame([{"conv_id": conv_id, "conv_text": doc,
+                                 "n_turns": n}])
+            return
+        idxs: list[int] = []
+        texts: list[str] = []
+        max_ts_ms = 0
+        if state.exists:
+            old_idxs, old_texts, old_max = state.get
+            idxs, texts, max_ts_ms = list(old_idxs), list(old_texts), old_max
+        for pdf in pdfs:
+            idxs.extend(int(x) for x in pdf["turn_idx"])
+            texts.extend(str(x) for x in pdf["extracted_text"])
+            if len(pdf):
+                batch_max = int(pd.to_datetime(pdf["ts"]).max().value // 10**6)
+                max_ts_ms = max(max_ts_ms, batch_max)
+        state.update((idxs, texts, max_ts_ms))
+        # quiet horizon keyed to the GROUP's latest event time: fire only
+        # once the watermark clears it by the quiet gap. Timeout
+        # timestamps must be > current watermark, so clamp up.
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + quiet_ms, state.getCurrentWatermarkMs() + 1))
+
+    return assemble_conversation
+
+
+def _duration_ms(spec: str) -> int:
+    n, unit = spec.split()
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000}[unit.rstrip("s")]
+    return int(n) * scale
 
 
 def conversation_stream(transcript_stream: DataFrame,
                         config: ExtractConfig = DEFAULT_CONFIG,
-                        watermark: str = "10 seconds") -> DataFrame:
+                        watermark: str = "10 seconds",
+                        quiet: str | None = None) -> DataFrame:
     """transcript stream (with ts) -> assembled conversation documents.
 
     Extraction runs in the same fused stage; ts is carried through for the
-    event-time watermark that drives emission.
+    event-time watermark that drives emission. ``quiet`` (default: the
+    watermark delay) is the event-time silence after a conversation's
+    last turn before its document emits.
     """
     cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
             if c in transcript_stream.columns]
     extracted = transcript_stream.select(*cols).mapInPandas(
         make_extract_stage(config), schema=EXTRACT_SCHEMA + ", ts timestamp")
+    quiet_ms = _duration_ms(quiet or watermark)
     return (extracted
             .withWatermark("ts", watermark)
             .groupBy("conv_id")
             .applyInPandasWithState(
-                assemble_conversation,
+                make_assembler(quiet_ms),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",

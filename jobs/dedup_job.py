@@ -67,8 +67,12 @@ def main(argv: list[str]) -> int:
     from dup_ocropy_spark.session import get_spark
 
     spark = get_spark(app_name="dup_ocropy_dedup")
+    # ids pass through UNCAST: exact_keep_first and the pair operators
+    # work on any orderable key, and the curate pipeline's conv_id is a
+    # string — casting to long would throw under the ANSI default (or
+    # null every id with ANSI off, silently corrupting survivor sets)
     docs = (spark.read.parquet(args.input)
-            .select(F.col(args.id_col).cast("long").alias("doc_id"),
+            .select(F.col(args.id_col).alias("doc_id"),
                     F.col(args.text_col).alias("text")))
 
     t0 = time.time()

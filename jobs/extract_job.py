@@ -92,10 +92,17 @@ def main(argv: list[str]) -> int:
         fps = turn_fingerprints(transcripts)
         fps.write.mode("append").parquet(args.turn_fp_out)
         n_fps = spark.read.parquet(args.turn_fp_out).count()
-        # a running stream must re-list the grown table to see the batch
-        spark.catalog.refreshByPath(args.turn_fp_out)
+        # NOTE: a consumer stream runs in its OWN Spark application with
+        # its own cached file listing — refreshing here cannot reach it.
+        # The stream must spark.catalog.refreshByPath(dir) in its session
+        # (or restart) after each batch publish; see
+        # snapshot_deduped_stream's docstring.
 
-    rep = reject_report(extract(transcripts, config)).collect()
+    # reject accounting from the WRITTEN output (it carries
+    # reject_reason) — re-running extract() here would execute the
+    # expensive kernel pass a second time over the full corpus, and
+    # without --salted to boot
+    rep = reject_report(spark.read.parquet(args.output)).collect()
     print(json.dumps({
         "rows": n_rows,
         "wall_sec": round(wall, 1),

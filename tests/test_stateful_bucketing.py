@@ -35,10 +35,73 @@ def test_stateful_conversation_assembly(spark, tmp_path):
         q.stop()
     got = (spark.sql("SELECT conv_id, conv_text FROM conv_docs")
            .orderBy("conv_id").toPandas())
-    want = (conversation_text(extract(spark.read.parquet(path)))
+    # the trigger conv itself is still inside its OWN quiet horizon when
+    # the stream stops (no event time ever passes 2027+quiet), so it
+    # correctly remains in state — compare against the original corpus
+    want = (conversation_text(extract(
+                spark.read.parquet(path)
+                .where(F.col("conv_id") != "zzz_late")))
             .orderBy("conv_id").toPandas())
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
     assert got["conv_text"].tolist() == want["conv_text"].tolist()
+
+
+def test_stateful_assembly_not_fragmented_by_batch_gaps(spark, tmp_path):
+    """A conversation whose turns span micro-batches — with an intermediate
+    batch carrying only OTHER conversations — must still emit ONE document
+    with all its turns. The old watermark+1 horizon fired on the first
+    batch that lacked the conversation, splitting it into partial docs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                        "text", "tool", "ts"]),
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+
+    path = str(tmp_path / "gap_in")
+    txt = "some extracted content words line number %d right here okay"
+    # batch 1: convA turns 0-1
+    batch([("convA", i, "user", txt % i, "",
+            base + dt.timedelta(seconds=i)) for i in range(2)]) \
+        .coalesce(1).write.mode("overwrite").parquet(path + "/f1")
+    # batch 2: only convB, a few seconds later (advances the watermark a
+    # little — under the old horizon this fired convA prematurely)
+    batch([("convB", 0, "user", txt % 90, "",
+            base + dt.timedelta(seconds=12))]) \
+        .coalesce(1).write.mode("append").parquet(path + "/f2")
+    # batch 3: convA turn 2, ON TIME (within its quiet horizon)
+    batch([("convA", 2, "user", txt % 2, "",
+            base + dt.timedelta(seconds=14))]) \
+        .coalesce(1).write.mode("append").parquet(path + "/f3")
+    # batch 4: far-future trigger pushes every quiet horizon past
+    batch([("zzz", 0, "user", txt % 99, "", base + dt.timedelta(days=400))]) \
+        .coalesce(1).write.mode("append").parquet(path + "/f4")
+
+    stream = (spark.readStream.schema(
+                  "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(path + "/*"))
+    q = (conversation_stream(stream)
+         .writeStream.format("memory").queryName("gap_docs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM gap_docs").toPandas()
+    a = got[got.conv_id == "convA"]
+    assert len(a) == 1, got          # ONE document, not fragments
+    assert a.iloc[0].n_turns == 3
+    assert a.iloc[0].conv_text.count("\n") == 2  # all three turns, in order
 
 
 def test_bucketed_join_plans_no_exchange(spark, tmp_path):

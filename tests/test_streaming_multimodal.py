@@ -555,3 +555,50 @@ def test_snapshot_deduped_stream_drops_batch_history(spark, tmp_path):
     got = sorted(spark.sql("SELECT text FROM snap_dedup_out").toPandas()["text"])
     # 0 and 1 blocked by history; 2 once (watermark dedup); 3 and 4 new
     assert got == sorted([texts[2], texts[3], texts[4]])
+
+
+def test_streaming_dedup_preserves_distinct_empty_turns(spark, tmp_path):
+    """Payload-less turns (null / whitespace-only) must NOT dedup against
+    each other: md5('') is one constant, so the naive key silently
+    deleted every empty turn in the window after the first — while the
+    batch path keeps them all with reject_reason. Identical REAL payloads
+    still dedup."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import deduped_stream, near_deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = pd.DataFrame({
+        "conv_id": ["c0", "c1", "c2", "c3", "c4", "c5"],
+        "turn_idx": pd.array([0, 0, 0, 0, 0, 0], dtype="int32"),
+        "role": "user",
+        "text": ["", "   ", None,
+                 "a real payload with plenty of words in it for the gate",
+                 "a real payload with plenty of words in it for the gate",
+                 "\t\n"],
+        "tool": "",
+        "ts": [base] * 6,
+    })
+    src = tmp_path / "empty_in"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    stream_schema = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+    for name, fn in (("exact", deduped_stream), ("near", near_deduped_stream)):
+        stream = (spark.readStream.schema(stream_schema)
+                  .parquet(str(src / "*")))
+        q = (fn(stream, watermark="1 hour")
+             .writeStream.format("memory").queryName(f"empty_{name}")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(f"SELECT conv_id FROM empty_{name}").toPandas()
+        ids = set(got.conv_id)
+        # all four payload-less turns survive; the real dup pair dedups
+        assert {"c0", "c1", "c2", "c5"} <= ids, (name, ids)
+        assert len(ids & {"c3", "c4"}) == 1, (name, ids)
