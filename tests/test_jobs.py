@@ -96,9 +96,11 @@ def test_stream_job_bounded_run(spark, transcripts_path, tmp_path, capsys):
     out = spark.read.parquet(str(tmp_path / "so"))
     assert {"conv_id", "turn_idx", "extracted_text",
             "reject_reason"} <= set(out.columns)
-    # near-dup gate admits at most one survivor per identical payload
+    # the gate actually dropped something: the synth corpus plants the
+    # identical short payload 'hi' across conversations, which dedups
+    # under the exact fallback — rows == n_raw would mean a no-op gate
     n_raw = spark.read.parquet(transcripts_path).count()
-    assert rep["rows"] <= n_raw
+    assert rep["rows"] < n_raw
 
 
 def test_quality_gate_counts_sentence_initial_stopwords(spark):

@@ -103,8 +103,11 @@ def test_segment_html_blocks():
     blocks = segment_payload(HTML)
     kinds = [(b.kind, b.boiler) for b in blocks]
     assert ("h1", False) in kinds
-    # nav/footer/title are boilerplate containers
-    assert all(b.boiler for b in blocks if b.kind in ("nav", "footer", "title"))
+    # nav/footer/title are boilerplate containers (presence-guarded: an
+    # all() over an empty filter would be vacuously green if segmentation
+    # stopped emitting these blocks entirely)
+    boiler = [b for b in blocks if b.kind in ("nav", "footer", "title")]
+    assert boiler and all(b.boiler for b in boiler)
     # style content never appears
     assert not any("c:d" in b.visible for b in blocks)
     # ids dense and ordered by position

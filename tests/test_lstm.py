@@ -49,9 +49,14 @@ def test_bptt_gradient_matches_finite_difference():
 def test_lstm_distills_rule_labels():
     model, acc = train_lstm(n_convs=30, epochs=60)
     assert acc >= 0.97, acc
-    # held-out sequences
+    # held-out sequences: conv-bounded split — sequence_training_data(45)
+    # begins with EXACTLY the 30 training convs' sequences, so dropping
+    # that prefix leaves convs 30-44 only (a tail slice like [-400:]
+    # overlapped ~60% with the training set and measured memorization)
+    n_train = len(sequence_training_data(30)[0])
     seqs, labs = sequence_training_data(45)
-    seqs, labs = seqs[-400:], labs[-400:]
+    seqs, labs = seqs[n_train:], labs[n_train:]
+    assert len(seqs) > 100
     correct = sum(int(((model.scores(X) >= 0.5) == (y == 1)).sum())
                   for X, y in zip(seqs, labs))
     total = sum(len(y) for y in labs)

@@ -87,7 +87,10 @@ def test_query_matches_oracle(spark, ddb, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+    # every registered rows-only query is non-empty on the sf corpora —
+    # count() >= 0 was a dead assertion that let an empty-result
+    # regression through
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 

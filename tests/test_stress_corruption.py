@@ -22,7 +22,6 @@ RATE = 0.5
 def test_corruptions_actually_fire():
     import numpy as np
 
-    rng = np.random.default_rng(7)
     base = "<p>hello world this is fine</p><p>second paragraph here</p>"
     outs = {_corrupt_payload(np.random.default_rng(i), base) for i in range(30)}
     assert len(outs) > 10  # diverse damage
@@ -38,10 +37,13 @@ def test_corrupted_tier_crash_free_and_spans_in_bounds(spark):
                        ["conv_id", "turn_idx"])
               .select("conv_id", "turn_idx", "payload_len", "text_len",
                       "tool_len", F.explode_outer("spans").alias("s")))
+    # the bound is the CHOSEN payload's length (tool wins when non-empty;
+    # payload_len == len(chosen)) — greatest(text_len, tool_len) let a
+    # span overrunning a short tool payload hide under a longer text
     bad = joined.where(
         F.col("s").isNotNull()
         & ((F.col("s.start") < 0) | (F.col("s.end") < F.col("s.start"))
-           | (F.col("s.end") > F.greatest("text_len", "tool_len"))))
+           | (F.col("s.end") > F.col("payload_len"))))
     assert bad.count() == 0
     assert out.count() == tr.count()  # every turn produced a row
 
