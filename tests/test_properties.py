@@ -21,6 +21,10 @@ _frag = st.one_of(
         "<script>", "</script>", "\n\n", "\f", "----\n", "=====\n",
         "&amp;", "&lt;", "“q” ﬁne–x…", "\U0001F600", "<div", ">>",
         "<!-- c -->", "<p attr='a>b'>",
+        # self-closing variants: the greedy attr regex eats a trailing
+        # '/' when attributes precede it — an uncorrected <a .../> left
+        # the anchor depth open forever (round-4 kernel fix)
+        "<a href=\"#\"/>", "<a/>", "<br/>", "<nav/>", "<script src=x/>",
     ]),
 )
 payloads = st.lists(_frag, max_size=30).map("".join)
