@@ -66,6 +66,20 @@ def _vis_sql(expr: str) -> str:
     return f"trim(replace({expr}, '&amp;', '&'), {_WS_SQL})"
 
 
+def _rule_only_sql(expr: str) -> str:
+    """TRUE when the payload consists ONLY of rule lines (G7 separators:
+    a contiguous [-=_*]{4,} run, optionally flanked by rule chars/tabs/
+    spaces) and blank lines — the kernel segments such payloads to ZERO
+    blocks (every line is a separator), which the former constant
+    n_blocks=1 oracle mispredicted. Lines split on \n and \f (the
+    plain-mode separators)."""
+    rule = "'^[-=_* \t]*[-=_*]{4,}[-=_* \t]*$'"
+    blank = "'^[ \t]*$'"
+    return (f"len(list_filter(string_split_regex({expr}, '[\n\f]'), "
+            f"l -> NOT regexp_matches(l, {rule}) "
+            f"AND NOT regexp_matches(l, {blank}))) = 0")
+
+
 def _norm_sql(expr: str) -> str:
     """Kernel-order normalization of an extracted block in DuckDB: entity
     decode (the corpus' only entity is &amp;) then the FULL homograph
@@ -80,11 +94,15 @@ def _norm_sql(expr: str) -> str:
     sql=f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            length(text) AS payload_len,
-           CASE WHEN {_GATE_SQL} IS NOT NULL THEN 0 ELSE 1 END AS n_blocks,
+           CASE WHEN {_GATE_SQL} IS NOT NULL THEN 0
+                WHEN {_rule_only_sql('text')} THEN 0
+                ELSE 1 END AS n_blocks,
            CASE WHEN {_GATE_SQL} IS NOT NULL
+                     OR {_rule_only_sql('text')}
                      OR length({_vis_sql('text')}) < 8
                 THEN 0 ELSE 1 END AS n_content,
            CASE WHEN {_GATE_SQL} IS NOT NULL
+                     OR {_rule_only_sql('text')}
                      OR length({_vis_sql('text')}) < 8 THEN ''
                 ELSE {_norm_sql('text')} END AS extracted_text,
            {_GATE_SQL} AS reject_reason
@@ -111,6 +129,7 @@ def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            'content' AS label
     FROM documents
     WHERE length(text) >= 20 AND length(text) <= 1000000
+      AND NOT ({_rule_only_sql('text')})
       AND length({_vis_sql('text')}) >= 8
     """,
     doc="span extraction: char extents into the raw payload "
@@ -154,10 +173,11 @@ _CLASSIFIED_SQL = f"""
     WITH f AS (
       SELECT doc_id, text,
              {_GATE_SQL} AS reject_reason,
+             {_rule_only_sql('text')} AS rule_only,
              trim(replace(text, '&amp;', '&'), {_WS_SQL}) AS t
       FROM documents
     ), g AS (
-      SELECT doc_id, text, reject_reason, t,
+      SELECT doc_id, text, reject_reason, rule_only, t,
              length(t) AS nt,
              string_split_regex(lower(t), '\\s+') AS words,
              length(t) - length(translate(t, '.,;:!?', '')) AS npunct,
@@ -169,7 +189,7 @@ _CLASSIFIED_SQL = f"""
              len(list_filter(words, w -> w IN ({_STOPLIST_SQL}))) AS nstop
       FROM g
     ), z AS (
-      SELECT doc_id, text, reject_reason, nt,
+      SELECT doc_id, text, reject_reason, rule_only, nt,
              {_W[0]} * ln(1 + nt)
              + {_W[3]} * (CAST(nstop AS DOUBLE) / nw)
              + {_W[4]} * (CAST(npunct AS DOUBLE) / nw)
@@ -180,13 +200,17 @@ _CLASSIFIED_SQL = f"""
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            length(text) AS payload_len,
-           CASE WHEN reject_reason IS NOT NULL THEN 0 ELSE 1 END AS n_blocks,
-           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+           CASE WHEN reject_reason IS NOT NULL OR rule_only
+                THEN 0 ELSE 1 END AS n_blocks,
+           CASE WHEN reject_reason IS NULL AND NOT rule_only
+                     AND nt >= 8 AND zv >= 0
                 THEN 1 ELSE 0 END AS n_content,
-           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+           CASE WHEN reject_reason IS NULL AND NOT rule_only
+                     AND nt >= 8 AND zv >= 0
                 THEN round(1.0 / (1.0 + exp(-zv)), 6) ELSE -1.0 END
              AS content_score,
-           CASE WHEN reject_reason IS NULL AND nt >= 8 AND zv >= 0
+           CASE WHEN reject_reason IS NULL AND NOT rule_only
+                     AND nt >= 8 AND zv >= 0
                 THEN {_norm_sql('text')}
                 ELSE '' END AS extracted_text,
            reject_reason
@@ -230,20 +254,32 @@ _HTML_SUFFIX = ('</p><script>var tracker = "x";</script>'
     sql=f"""
     WITH v AS (
       SELECT doc_id,
+             NOT ({_rule_only_sql('substr(text, 1, 30)')})
+               AND length({_vis_sql('substr(text, 1, 30)')}) > 0 AS h_block,
+             NOT ({_rule_only_sql('text')})
+               AND length({_vis_sql('text')}) > 0 AS b_block,
              length({_vis_sql('substr(text, 1, 30)')}) AS hv,
              length({_vis_sql('text')}) AS bv,
              {_norm_sql('substr(text, 1, 30)')} AS hn,
              {_norm_sql('text')} AS bn
       FROM documents
+    ), w AS (
+      SELECT doc_id, hn, bn,
+             h_block, b_block,
+             h_block AND hv >= 8 AS h_ok,
+             b_block AND bv >= 8 AS b_ok
+      FROM v
     )
     SELECT doc_id,
-           CASE WHEN hv >= 8 AND bv >= 8 THEN hn || chr(10) || bn
-                WHEN hv >= 8 THEN hn
-                WHEN bv >= 8 THEN bn
+           CASE WHEN h_ok AND b_ok THEN hn || chr(10) || bn
+                WHEN h_ok THEN hn
+                WHEN b_ok THEN bn
                 ELSE '' END AS extracted_text,
-           CAST(hv >= 8 AS INT) + CAST(bv >= 8 AS INT) AS n_content,
-           4 AS n_blocks
-    FROM v
+           CAST(h_ok AS INT) + CAST(b_ok AS INT) AS n_content,
+           -- nav + footer always segment as blocks; the h1/p blocks
+           -- vanish when their content is rule-lines-only or empty
+           2 + CAST(h_block AS INT) + CAST(b_block AS INT) AS n_blocks
+    FROM w
     """,
     doc="HTML boilerplate-strip path, DuckDB-verified: documents text is "
         "wrapped in nav/h1/p/script/footer markup JVM-side, the real "

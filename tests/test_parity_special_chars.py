@@ -58,6 +58,11 @@ def special_dir(tmp_path_factory):
     # trim in the span/visible twins (bare DuckDB trim strips spaces only)
     padded.append("&amp;&amp;&amp;&amp;&amp;12")
     padded.append("\t\n  edge whitespace body words here padded well  \t\n")
+    # rule-line-only payloads: every line is a G7 separator, so the
+    # kernel segments ZERO blocks — the former constant-n_blocks oracles
+    # mispredicted these (round-4 fix; mixed rule runs + blank line too)
+    padded.append("=" * 24)
+    padded.append("  ==== ----  \n\n====____")
     pdf = pd.DataFrame({
         "doc_id": range(len(padded)),
         "text": padded,
