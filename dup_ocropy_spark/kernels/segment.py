@@ -57,8 +57,17 @@ _TAG_RE = re.compile(
 _HAS_MARKUP_RE = re.compile(r"<[a-zA-Z/!][^>]*>")
 # Structural separators inside text runs: form feed, blank-line run,
 # ASCII rule line of 4+ -=_* chars (G6/G7 analog).
-_PLAIN_SEP_RE = re.compile(r"\f+|\n[ \t]*\n(?:[ \t]*\n)*|^[ \t]*[-=_*]{4,}[ \t]*$\n?", re.M)
-_RULE_LINE_RE = re.compile(r"^[-=_* \t]*[-=_*]{4,}[-=_* \t]*$")
+# exported pattern STRING: the DuckDB oracle twins derive their block
+# splitter from this same literal (single source of truth, like
+# functions/text.normalize_sql). Known dialect edge: RE2's (?m)^ anchors
+# after \f, Python's re.M does not — a rule line IMMEDIATELY after a
+# form feed is visible text here but a separator there (absent from the
+# synthetic grammars; documented at the oracle).
+PLAIN_SEP_PATTERN = r"\f+|\n[ \t]*\n(?:[ \t]*\n)*|^[ \t]*[-=_*]{4,}[ \t]*$\n?"
+_PLAIN_SEP_RE = re.compile(PLAIN_SEP_PATTERN, re.M)
+# also exported for the oracle twins (post-segmentation rule-block drop)
+RULE_BLOCK_PATTERN = r"^[-=_* \t]*[-=_*]{4,}[-=_* \t]*$"
+_RULE_LINE_RE = re.compile(RULE_BLOCK_PATTERN)
 # allocation-free fast-path guard for _add_piece: piece could start a rule line
 _LEAD_RULE_RE = re.compile(r"[ \t]*[-=_*]")
 

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dup_ocropy_spark.config import DEFAULT_CONFIG, ExtractConfig
 from dup_ocropy_spark.functions.text import normalize_sql
 from dup_ocropy_spark.kernels.classify import STOPWORDS
+from dup_ocropy_spark.kernels.segment import (
+    PLAIN_SEP_PATTERN, RULE_BLOCK_PATTERN,
+)
 from dup_ocropy_spark.operators.registry import register, table
 from dup_ocropy_spark.operators.train import (
     PRETRAINED_LOGISTIC_BIAS, PRETRAINED_LOGISTIC_WEIGHTS,
@@ -89,27 +92,62 @@ def _norm_sql(expr: str) -> str:
     return normalize_sql(f"replace({expr}, '&amp;', '&')")
 
 
+# The kernel's plain-mode block splitter, verbatim (RE2 dialect edge:
+# (?m)^ anchors after \f in DuckDB but not in Python re.M, so a rule
+# line IMMEDIATELY following a form feed diverges — absent from every
+# corpus/fixture here; same documented-dialect status as the
+# levenshtein bytes-vs-codepoints divergence).
+_SEP_SQL = "(?m)" + PLAIN_SEP_PATTERN
+
+
+def _blocks_sql(expr: str) -> str:
+    """DuckDB list of the kernel's visible blocks for a PLAIN payload:
+    split on the shared separator pattern (blank lines / rule lines /
+    form feeds), entity-decode, whitespace-trim, drop empties — the
+    full G-stage segmentation, not a single-block assumption."""
+    return (f"list_filter(list_transform("
+            f"string_split_regex({expr}, '{_SEP_SQL}'), "
+            f"p -> trim(replace(p, '&amp;', '&'), {_WS_SQL})), "
+            f"v -> v != '' AND NOT regexp_matches(v, "
+            f"'{RULE_BLOCK_PATTERN}'))")
+
+
 @register(
     "extract_documents",
     sql=f"""
+    WITH seg AS (
+      SELECT doc_id, text,
+             {_GATE_SQL} AS gate,
+             {_blocks_sql('text')} AS vis
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, text, vis,
+             CASE WHEN gate IS NOT NULL THEN gate
+                  WHEN len(vis) > 300 THEN 'too_many_blocks'
+                  ELSE NULL END AS reject_reason,
+             gate,
+             list_filter(vis, v -> length(v) >= 8) AS content
+      FROM seg
+    )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            length(text) AS payload_len,
-           CASE WHEN {_GATE_SQL} IS NOT NULL THEN 0
-                WHEN {_rule_only_sql('text')} THEN 0
-                ELSE 1 END AS n_blocks,
-           CASE WHEN {_GATE_SQL} IS NOT NULL
-                     OR {_rule_only_sql('text')}
-                     OR length({_vis_sql('text')}) < 8
-                THEN 0 ELSE 1 END AS n_content,
-           CASE WHEN {_GATE_SQL} IS NOT NULL
-                     OR {_rule_only_sql('text')}
-                     OR length({_vis_sql('text')}) < 8 THEN ''
-                ELSE {_norm_sql('text')} END AS extracted_text,
-           {_GATE_SQL} AS reject_reason
-    FROM documents
+           CASE WHEN gate IS NOT NULL THEN 0 ELSE len(vis) END AS n_blocks,
+           CASE WHEN reject_reason IS NOT NULL THEN 0
+                ELSE len(content) END AS n_content,
+           CASE WHEN reject_reason IS NOT NULL THEN ''
+                -- coalesce: DuckDB array_to_string of an EMPTY list is NULL
+                ELSE coalesce(array_to_string(
+                       list_transform(content, v -> {normalize_sql('v')}),
+                       chr(10)), '') END AS extracted_text,
+           reject_reason
+    FROM lab
     """,
-    doc="FLAGSHIP: the full extraction pipeline over the documents table "
-        "(single-block plain-text corpus -> end-to-end SQL-checkable)",
+    doc="FLAGSHIP: the full extraction pipeline over the documents table. "
+        "The oracle now replays the WHOLE plain-mode segmentation in SQL "
+        "from the kernel's own separator pattern — multi-paragraph, "
+        "rule-divided and form-feed-paged payloads all oracle-checked "
+        "(not just the single-block corpus shape), incl. the "
+        "too_many_blocks gate and per-block noise cut",
 )
 def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _documents_as_transcripts(spark, sf_dir)

@@ -136,3 +136,46 @@ def test_t1_probe_norm_matches_kernel(spark):
     got = df.select(normalize_text_col(
         F.concat(F.col("text"), F.lit(_T1_PROBE))).alias("n")).collect()[0]["n"]
     assert got == normalize_text(base + _T1_PROBE)
+
+
+def test_flagship_oracle_multiblock_plain_layouts(spark, tmp_path):
+    """The generalized extract_documents oracle replays FULL plain-mode
+    segmentation in SQL (shared separator pattern): multi-paragraph,
+    rule-divided, form-feed-paged, noise-block and too_many_blocks
+    payloads must all hash-match the kernel — not just the single-block
+    corpus shape the old oracle assumed."""
+    import duckdb
+
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    texts = [
+        "para one has plenty of words\n\npara two also has plenty here",
+        "=======\ncontent line with words here\n=======",
+        "page one text with words here\fpage two text with words here",
+        "lead paragraph with words\n\nzx\n\ntail paragraph with words",  # noise mid-block
+        "   indented pdf-ish line one here\n\n\n   another paragraph after gap",
+        "words before rule\n----------\nwords after the long rule line",
+        ("many blocks " + "\n\nblk words here" * 301),       # too_many_blocks
+        "---\n--- three-dash lines are content not rules at all",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "source": "s0", "lang": "en"})
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "mb"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), d / "documents.parquet")
+
+    spec = REGISTRY["extract_documents"]
+    got = (spec.spark(spark, str(d)).orderBy("doc_id").toPandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.execute(spec.sql + " ORDER BY doc_id").df()
+    for col in ("n_blocks", "n_content", "extracted_text", "reject_reason"):
+        assert got[col].fillna("").tolist() == want[col].fillna("").tolist(), \
+            (col, got[col].tolist(), want[col].tolist())
+    # sanity on the interesting shapes
+    assert got.n_blocks[0] == 2 and "\n" in got.extracted_text[0]
+    assert got.n_blocks[1] == 1          # rules stripped, content kept
+    assert got.n_blocks[3] == 3 and got.n_content[3] == 2  # 'zx' is noise
+    assert got.reject_reason[6] == "too_many_blocks" and got.n_blocks[6] == 302
