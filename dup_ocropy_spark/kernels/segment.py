@@ -114,7 +114,7 @@ class _Assembler:
     def __init__(self, payload: str, forced: list[int] | None):
         self.payload = payload
         self.forced = sorted(set(forced or []))
-        self._forced_set = set(self.forced)
+        self._last_end = 0  # end of the previous text slice (gap tracking)
         self.blocks: list[Block] = []
         # pending segments: (start, end, decoded_text, link_chars, boiler)
         self.segs: list[tuple[int, int, str, int, bool]] = []
@@ -148,11 +148,13 @@ class _Assembler:
         if s >= e:
             return
         if self.forced:
-            # a boundary exactly AT the slice start must still split: the
-            # pending text accumulated from earlier slices (e.g. across an
-            # inline tag) flushes before this slice begins — the strict
-            # s < p filter below can't see it
-            if s in self._forced_set and self.segs:
+            # a boundary at the slice start OR inside the preceding tag
+            # markup gap (last_end < p <= s) must still split: the
+            # pending text accumulated from earlier slices flushes
+            # before this slice begins — the strict interior filter
+            # below cannot see boundaries that fall between slices
+            if self.segs and any(self._last_end < p <= s
+                                 for p in self.forced):
                 self.flush()
             # forced boundary offsets inside this slice (mask-join analog)
             bounds = [s] + [p for p in self.forced if s < p < e] + [e]
@@ -162,6 +164,7 @@ class _Assembler:
                 self._add_piece(bounds[i], bounds[i + 1], in_link, boiler, kind)
         else:
             self._add_piece(s, e, in_link, boiler, kind)
+        self._last_end = e
 
     def _add_piece(self, s: int, e: int, in_link: bool, boiler: bool, kind: str) -> None:
         text = self.payload[s:e]
@@ -218,9 +221,15 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
             closing = closing_s == "/"
             # the greedy attribute group consumes a trailing '/' when
             # attributes are present ('<a href="#"/>' -> attrs ' href="#"/',
-            # group 4 empty), so self-close must also look at the attr tail
-            selfclose = (selfclose_s == "/"
-                         or (attrs_s or "").rstrip().endswith("/"))
+            # group 4 empty), so self-close must also look at the attr
+            # tail. HTML5 nuance: a '/' ending an UNQUOTED value
+            # ('<a href=http://x.com/>') is part of the value, NOT a
+            # self-close — so the trailing '/' only counts when it is the
+            # whole attr string or follows a quote or whitespace
+            a = attrs_s or ""
+            selfclose = selfclose_s == "/" or (
+                a.endswith("/")
+                and (len(a) == 1 or a[-2] in "\"' \t\n"))
             if name == "a" and not selfclose:
                 # a self-closing <a/> has no content: counting it open
                 # would mark ALL subsequent text as link chars (density

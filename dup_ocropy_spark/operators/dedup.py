@@ -272,15 +272,14 @@ def _token_hash64(token: str) -> int:
 def _simhash_batch(batches):
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for pdf in batches:
-        out_ids = pdf["doc_id"].to_numpy()
-        hashes = np.zeros(len(pdf), dtype=np.uint64)
+        out_ids: list = []
+        out_hashes: list[int] = []
         # hash each distinct token ONCE per batch (corpus vocabulary is tiny
         # relative to token count; per-occurrence blake2b dominated profiles)
         token_cache: dict[str, int] = {}
-        for i, text in enumerate(pdf["text"]):
-            # string guard: str(None/NaN) would tokenize as the word
-            # 'none'/'nan', giving every null-text doc the IDENTICAL
-            # simhash (O(k^2) phantom pairs over k null docs)
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            # null/blank docs emit NO signature (see simhash_signatures:
+            # any shared placeholder value pairs them all with each other)
             if not isinstance(text, str):
                 continue
             tokens = text.lower().split()
@@ -292,9 +291,12 @@ def _simhash_batch(batches):
             hv = np.array([token_cache[t] for t in tokens], dtype=np.uint64)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
             acc = (2 * bits - 1).sum(axis=0)
-            hashes[i] = (powers[acc >= 0]).sum(dtype=np.uint64)
-        yield pd.DataFrame({"doc_id": out_ids,
-                            "simhash": hashes.view(np.int64)})
+            out_ids.append(doc_id)
+            out_hashes.append(int((powers[acc >= 0]).sum(dtype=np.uint64)))
+        yield pd.DataFrame({
+            "doc_id": out_ids,
+            "simhash": np.array(out_hashes, dtype=np.uint64).view(np.int64),
+        })
 
 
 # 7 bit-blocks over the 64-bit fingerprint (widths 10,9,9,9,9,9,9).
@@ -321,9 +323,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """Phase-1 artifact: (doc_id, simhash) — the 64-bit fingerprints."""
+    """Phase-1 artifact: (doc_id, simhash) — the 64-bit fingerprints.
+
+    The id column keeps its INPUT type (string conv_ids work — a
+    hardcoded 'doc_id long' schema crashed Arrow conversion for the
+    curate pipeline's keys). Null/whitespace-only docs emit NO signature
+    row at all: a shared placeholder hash (the old zero init) made every
+    payload-less doc an exact simhash match of every other — O(k^2)
+    phantom pairs and one giant bogus cluster."""
+    id_type = dict(docs.dtypes)["doc_id"]
     return docs.select("doc_id", "text").mapInPandas(
-        _simhash_batch, schema="doc_id long, simhash long")
+        _simhash_batch, schema=f"doc_id {id_type}, simhash long")
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:

@@ -45,19 +45,29 @@ def _documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GATE_SQL = """
+# defined below _WS_SQL so the blank gate can use the whitespace SET —
+# the kernel's payload.strip() rejects a tabs-only payload as 'blank',
+# which bare DuckDB trim (spaces only) would miss
+
+
+# DuckDB's bare trim()/ltrim()/rtrim() strip SPACES only; the kernel
+# strips Python str.isspace() whitespace. The char set is GENERATED from
+# the kernel's WS_CHARS literal (kernels/bpe.py — ASCII whitespace + NEL
+# + the Unicode White_Space spaces incl. NBSP/U+2028), so NBSP-edged
+# payloads trim identically in both engines. Residual dialect edge:
+# Python isspace() additionally accepts \x1c-\x1f (file/group/record
+# separators), absent from any corpus or fixture here.
+from dup_ocropy_spark.kernels.bpe import WS_CHARS as _WS_CHARS
+
+_WS_SQL = " || ".join(f"chr({ord(c)})" for c in _WS_CHARS)
+
+_GATE_SQL = f"""
       CASE WHEN length(text) = 0 THEN 'empty'
-           WHEN length(trim(text)) = 0 THEN 'blank'
+           WHEN length(trim(text, {_WS_SQL})) = 0 THEN 'blank'
            WHEN length(text) < 20 THEN 'too_short'
            WHEN length(text) > 1000000 THEN 'too_long'
            ELSE NULL END
 """
-
-
-# DuckDB's bare trim()/ltrim()/rtrim() strip SPACES only; the kernel
-# strips Python str.isspace() whitespace. Explicit char set keeps the
-# twins faithful on payloads with tabs/newlines at the edges.
-_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
 
 
 def _vis_sql(expr: str) -> str:
@@ -76,7 +86,7 @@ def _rule_only_sql(expr: str) -> str:
     blocks (every line is a separator), which the former constant
     n_blocks=1 oracle mispredicted. Lines split on \n and \f (the
     plain-mode separators)."""
-    rule = "'^[-=_* \t]*[-=_*]{4,}[-=_* \t]*$'"
+    rule = f"'{RULE_BLOCK_PATTERN}'"
     blank = "'^[ \t]*$'"
     return (f"len(list_filter(string_split_regex({expr}, '[\n\f]'), "
             f"l -> NOT regexp_matches(l, {rule}) "

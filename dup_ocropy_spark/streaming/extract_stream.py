@@ -94,10 +94,13 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 def _payload_fp(payload):
     """normalized_fp for real payloads; a (conv_id, turn_idx)-unique
-    sentinel for null/blank ones so payload-less turns never dedup."""
-    from dup_ocropy_spark.functions.text import normalized_fp
+    sentinel for null/blank ones so payload-less turns never dedup.
+    Blankness is judged on the NORMALIZED text (F.trim strips spaces
+    only — a tabs-only and a newline-only payload would both slip
+    through a raw-trim check and still collide on md5(''))."""
+    from dup_ocropy_spark.functions.text import normalized_fp, normalized_text
 
-    blank = payload.isNull() | (F.trim(payload) == "")
+    blank = payload.isNull() | (normalized_text(payload) == "")
     unique = F.concat_ws(":", F.lit("__empty__"), F.col("conv_id"),
                          F.col("turn_idx").cast("string"))
     return F.when(blank, unique).otherwise(normalized_fp(payload))

@@ -78,10 +78,19 @@ def make_assembler(quiet_ms: int):
 
 
 def _duration_ms(spec: str) -> int:
-    n, unit = spec.split()
-    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
-             "hour": 3_600_000}[unit.rstrip("s")]
-    return int(n) * scale
+    """Spark-style interval string -> ms; supports every calendar-free
+    unit Spark's withWatermark accepts and compound specs
+    ('1 hour 30 minutes')."""
+    scale = {"microsecond": 0.001, "millisecond": 1, "second": 1000,
+             "minute": 60_000, "hour": 3_600_000, "day": 86_400_000,
+             "week": 604_800_000}
+    toks = spec.split()
+    if len(toks) < 2 or len(toks) % 2:
+        raise ValueError(f"bad interval spec: {spec!r}")
+    total = 0.0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        total += int(n) * scale[unit.rstrip("s").lower()]
+    return int(total)
 
 
 def conversation_stream(transcript_stream: DataFrame,

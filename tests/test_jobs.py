@@ -536,3 +536,35 @@ def test_train_job_lstm_artifact_roundtrip(spark, transcripts_path, tmp_path,
 
     got = extract(synth_transcripts(spark, 5), cfg)
     assert got.count() > 0
+
+
+def test_dedup_job_string_ids_all_methods(spark, tmp_path, capsys):
+    """String conv_id keys (the curate pipeline's output) must work for
+    EVERY method: ids pass through uncast, and simhash's signature
+    schema mirrors the input id type instead of hardcoding long. Null
+    and blank docs emit no signature (a shared placeholder hash made
+    every payload-less doc a hamming-0 'near-dup' of all the others)."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "conv_id": [f"conv{i:03d}" for i in range(8)],
+        "text": ["alpha bravo charlie delta echo foxtrot golf hotel " * 4] * 2
+                + [f"unique document number {i} with its own words " * 4
+                   for i in range(4)] + [None, "   "],
+    })
+    src = str(tmp_path / "sdocs")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+    for method in ("exact", "jaccard", "minhash", "simhash"):
+        rep = _run(dedup_job, ["--input", src, "--output",
+                               str(tmp_path / f"s_{method}"),
+                               "--method", method, "--id-col", "conv_id"],
+                   capsys)
+        out = spark.read.parquet(str(tmp_path / f"s_{method}"))
+        if method == "exact":
+            assert rep["rows"] >= 5   # dup pair collapsed; null/blank kept
+        else:
+            pairs = [(r.doc_a, r.doc_b) for r in out.collect()]
+            assert ("conv000", "conv001") in pairs, (method, pairs)
+            # payload-less docs never appear in any pair
+            flat = {x for p in pairs for x in p}
+            assert not ({"conv006", "conv007"} & flat), (method, pairs)
