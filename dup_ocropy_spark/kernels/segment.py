@@ -153,7 +153,7 @@ class _Assembler:
             # pending text accumulated from earlier slices flushes
             # before this slice begins — the strict interior filter
             # below cannot see boundaries that fall between slices
-            if self.segs and any(self._last_end < p <= s
+            if self.segs and any(self._last_end <= p <= s
                                  for p in self.forced):
                 self.flush()
             # forced boundary offsets inside this slice (mask-join analog)
@@ -229,7 +229,7 @@ def _segment_html(payload: str, forced: list[int] | None) -> list[Block]:
             a = attrs_s or ""
             selfclose = selfclose_s == "/" or (
                 a.endswith("/")
-                and (len(a) == 1 or a[-2] in "\"' \t\n"))
+                and (len(a) == 1 or a[-2] in "\"' \t\n\r\f"))
             if name == "a" and not selfclose:
                 # a self-closing <a/> has no content: counting it open
                 # would mark ALL subsequent text as link chars (density

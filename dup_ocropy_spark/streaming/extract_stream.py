@@ -83,8 +83,6 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     window after the first would be silently deleted, while the batch
     path keeps them with a reject_reason (the never-drop-silently
     discipline; empty turns are ~3% of the synth corpus)."""
-    from dup_ocropy_spark.functions.text import normalized_fp
-
     cols, payload = _payload_and_cols(stream)
     return (stream.select(*cols)
             .withColumn("fp", _payload_fp(payload))
@@ -214,12 +212,12 @@ def turn_fingerprints(transcripts: DataFrame) -> DataFrame:
     ``snapshot_deduped_stream`` — it is NOT the conversation-grain table
     ``curate_job --since-snapshot`` keeps (those fps hash redacted
     reassembled conv_text and can never match a raw turn payload; the
-    grains must not be mixed)."""
-    from dup_ocropy_spark.functions.text import normalized_fp
-
+    grains must not be mixed). Uses ``_payload_fp``: blank turns get
+    their (conv_id, turn_idx) sentinel on the batch side too, matching
+    the stream's keys."""
     cols, payload = _payload_and_cols(transcripts)
     keep = [c for c in ("conv_id", "turn_idx") if c in cols]
-    return transcripts.select(*keep, normalized_fp(payload).alias("fp"))
+    return transcripts.select(*keep, _payload_fp(payload).alias("fp"))
 
 
 def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
@@ -244,12 +242,14 @@ def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
     NOT seen by later micro-batches until
     ``spark.catalog.refreshByPath(dir)`` is called or the stream
     restarts. For a daily-append table, refresh (or restart) after each
-    batch publish."""
-    from dup_ocropy_spark.functions.text import normalized_fp
-
+    batch publish. Fingerprints come from ``_payload_fp`` on BOTH sides
+    (turn_fingerprints uses it too): blank turns carry a
+    (conv_id, turn_idx) sentinel, so distinct payload-less turns never
+    collide on md5('') — the SAME blank turn re-ingested still matches
+    its own snapshot sentinel and dedups, which is exactly right."""
     cols, payload = _payload_and_cols(stream)
     return (stream.select(*cols)
-            .withColumn("fp", normalized_fp(payload))
+            .withColumn("fp", _payload_fp(payload))
             .join(seen_fps.select("fp"), "fp", "left_anti")
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))

@@ -89,7 +89,9 @@ def _duration_ms(spec: str) -> int:
         raise ValueError(f"bad interval spec: {spec!r}")
     total = 0.0
     for n, unit in zip(toks[::2], toks[1::2]):
-        total += int(n) * scale[unit.rstrip("s").lower()]
+        # lower() BEFORE rstrip: 'SECONDS'.rstrip('s') keeps its plural;
+        # float(n): Spark's parser accepts fractional values
+        total += float(n) * scale[unit.lower().rstrip("s")]
     return int(total)
 
 
