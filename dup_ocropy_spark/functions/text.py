@@ -94,10 +94,12 @@ def normalized_text(col) -> Column:
 
 def normalized_fp(col) -> Column:
     """md5 over ``normalized_text`` — ONE definition shared by
-    quality_score's fp column, the streaming dedup key, and incremental
-    snapshot dedup (a normalization tweak applied anywhere else would
-    silently desynchronize persisted fingerprint tables from freshly
-    computed fps). NOTE: the exact-dedup operators (dedup_exact /
-    exact_keep_first) key on RAW md5(text) — byte-identity, a
-    deliberately stricter relation."""
+    quality_score's fp column and incremental snapshot dedup (a
+    normalization tweak applied anywhere else would silently
+    desynchronize persisted fingerprint tables from freshly computed
+    fps). The STREAMING keys (streaming/extract_stream._payload_fp)
+    wrap this with a blank-turn identity sentinel — tweak BOTH or
+    persisted turn-fp tables desync. NOTE: the exact-dedup operators
+    (dedup_exact / exact_keep_first) key on RAW md5(text) —
+    byte-identity, a deliberately stricter relation."""
     return F.md5(normalized_text(col))

@@ -85,22 +85,40 @@ def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     discipline; empty turns are ~3% of the synth corpus)."""
     cols, payload = _payload_and_cols(stream)
     return (stream.select(*cols)
-            .withColumn("fp", _payload_fp(payload))
+            .withColumn("fp", _payload_fp(payload, cols))
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
-def _payload_fp(payload):
-    """normalized_fp for real payloads; a (conv_id, turn_idx)-unique
-    sentinel for null/blank ones so payload-less turns never dedup.
-    Blankness is judged on the NORMALIZED text (F.trim strips spaces
-    only — a tabs-only and a newline-only payload would both slip
-    through a raw-trim check and still collide on md5(''))."""
+def _payload_fp(payload, cols=("conv_id", "turn_idx")):
+    """normalized_fp for real payloads; a turn-identity sentinel for
+    null/blank ones so distinct payload-less turns never dedup (the
+    same (conv_id, turn_idx) re-delivered still matches itself — the
+    right semantics for snapshot anti-joins). Blankness is judged on
+    the NORMALIZED text (F.trim strips spaces only — tabs-only and
+    newline-only payloads would both slip a raw-trim check and collide
+    on md5('')).
+
+    ``cols`` are the identity columns present in the frame; null parts
+    are mapped to an explicit marker (concat_ws SKIPS nulls, which
+    would collide (null, 3) with ('3', null)). With no identity columns
+    at all the sentinel guarantee is unavailable and blanks fall back
+    to the plain fingerprint.
+
+    Fingerprint-table format note: sentinel strings live alongside md5
+    hex in persisted turn-fp tables; both producers
+    (``turn_fingerprints``) and consumers (``snapshot_deduped_stream``)
+    must use THIS function — mixing with bare ``normalized_fp`` tables
+    desynchronizes blank-turn identity."""
     from dup_ocropy_spark.functions.text import normalized_fp, normalized_text
 
+    key_cols = [c for c in ("conv_id", "turn_idx") if c in cols]
+    if not key_cols:
+        return normalized_fp(payload)
     blank = payload.isNull() | (normalized_text(payload) == "")
-    unique = F.concat_ws(":", F.lit("__empty__"), F.col("conv_id"),
-                         F.col("turn_idx").cast("string"))
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in key_cols]
+    unique = F.concat_ws(":", F.lit("__empty__"), *parts)
     return F.when(blank, unique).otherwise(normalized_fp(payload))
 
 
@@ -217,7 +235,7 @@ def turn_fingerprints(transcripts: DataFrame) -> DataFrame:
     the stream's keys."""
     cols, payload = _payload_and_cols(transcripts)
     keep = [c for c in ("conv_id", "turn_idx") if c in cols]
-    return transcripts.select(*keep, _payload_fp(payload).alias("fp"))
+    return transcripts.select(*keep, _payload_fp(payload, cols).alias("fp"))
 
 
 def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
@@ -249,7 +267,7 @@ def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
     its own snapshot sentinel and dedups, which is exactly right."""
     cols, payload = _payload_and_cols(stream)
     return (stream.select(*cols)
-            .withColumn("fp", _payload_fp(payload))
+            .withColumn("fp", _payload_fp(payload, cols))
             .join(seen_fps.select("fp"), "fp", "left_anti")
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
