@@ -67,6 +67,24 @@ def _payload_and_cols(stream: DataFrame):
     return cols, payload
 
 
+def _identity_key(cols):
+    """Null-coalesced per-turn identity key (conv_id, turn_idx) shared by
+    EVERY blank-turn sentinel in this module — exact dedup, snapshot
+    dedup, and near-dup banding must agree on what makes a payload-less
+    turn unique. Each part coalesces to an explicit marker because
+    ``concat_ws`` SKIPS nulls: without it, (null, 3) and ('3', null)
+    would render the same key and two distinct blank turns would dedup.
+    Returns None when neither identity column exists (text-only adhoc
+    streams): the sentinel guarantee is unavailable and callers fall
+    back to plain content keys."""
+    key_cols = [c for c in ("conv_id", "turn_idx") if c in cols]
+    if not key_cols:
+        return None
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in key_cols]
+    return F.concat_ws(":", *parts)
+
+
 def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: md5 fingerprint of the normalized payload,
     duplicates dropped across micro-batches while their event time is
@@ -112,13 +130,11 @@ def _payload_fp(payload, cols=("conv_id", "turn_idx")):
     desynchronizes blank-turn identity."""
     from dup_ocropy_spark.functions.text import normalized_fp, normalized_text
 
-    key_cols = [c for c in ("conv_id", "turn_idx") if c in cols]
-    if not key_cols:
+    ident = _identity_key(cols)
+    if ident is None:
         return normalized_fp(payload)
     blank = payload.isNull() | (normalized_text(payload) == "")
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-             for c in key_cols]
-    unique = F.concat_ws(":", F.lit("__empty__"), *parts)
+    unique = F.concat_ws(":", F.lit("__empty__"), ident)
     return F.when(blank, unique).otherwise(normalized_fp(payload))
 
 
@@ -212,10 +228,13 @@ def near_deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     norm = normalized_text(payload)
     staged = stream.select(*cols, norm.alias("_norm")) \
         .withColumn("_sh", _stream_shingles(F.col("_norm")))
-    keys = _stream_band_keys(
-        F.col("_norm"), F.col("_sh"),
-        unique_key=F.concat_ws(":", F.col("conv_id"),
-                               F.col("turn_idx").cast("string")))
+    # blank-turn sentinel from the SAME null-coalesced identity parts
+    # _payload_fp uses (concat_ws skips nulls — a bare concat_ws would
+    # collide (null, 3) with ('3', null)); None on identity-less streams
+    # keeps analysis valid there (blanks then share the short-path key,
+    # the best available without an identity).
+    keys = _stream_band_keys(F.col("_norm"), F.col("_sh"),
+                             unique_key=_identity_key(cols))
     out = staged.select(*cols, *[k.alias(f"band{b}") for b, k in enumerate(keys)])
     out = out.withWatermark("ts", watermark)
     for b in range(STREAM_BANDS):

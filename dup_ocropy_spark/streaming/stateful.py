@@ -21,6 +21,15 @@ boundaries). With quiet >= the watermark delay, an on-time turn can
 never arrive after its conversation has fired; a conversation that
 genuinely resumes after an event-time gap > quiet emits a new document —
 session-window semantics, the honest behavior for unbounded streams.
+
+Checkpoint-format note: STATE_SCHEMA is (turn_idxs, texts, max_ts_ms) —
+the third field was added when quiet-horizon semantics replaced the
+global-watermark timeout. applyInPandasWithState serializes state rows
+with this exact schema into the checkpoint; a stream restarted from a
+checkpoint written under the old 2-field schema will mis-deserialize or
+fail. Restarting across that boundary requires a FRESH checkpoint dir
+(and re-reading the source from the desired offset); there is no
+in-place state migration.
 """
 
 from __future__ import annotations

@@ -602,3 +602,81 @@ def test_streaming_dedup_preserves_distinct_empty_turns(spark, tmp_path):
         # all four payload-less turns survive; the real dup pair dedups
         assert {"c0", "c1", "c2", "c5"} <= ids, (name, ids)
         assert len(ids & {"c3", "c4"}) == 1, (name, ids)
+
+
+def test_streaming_blank_sentinel_null_identity_no_collision(spark, tmp_path):
+    """concat_ws SKIPS nulls, so a naive (conv_id, turn_idx) key renders
+    (null, 3) and ('3', null) identically — two DISTINCT blank turns
+    would dedup. All three dedup stages must build the sentinel from the
+    shared null-coalesced identity parts so both rows survive."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import deduped_stream, near_deduped_stream
+    from dup_ocropy_spark.streaming.extract_stream import snapshot_deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = pd.DataFrame({
+        "conv_id": [None, "3"],
+        "turn_idx": pd.array([3, None], dtype="Int32"),
+        "role": "user",
+        "text": ["", ""],
+        "tool": "",
+        "ts": [base] * 2,
+    })
+    src = tmp_path / "nullkey_in"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    stream_schema = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+    empty_fps = spark.createDataFrame([], "fp string")
+    stages = (("exact", deduped_stream), ("near", near_deduped_stream),
+              ("snap", lambda s, watermark: snapshot_deduped_stream(
+                  s, empty_fps, watermark=watermark)))
+    for name, fn in stages:
+        stream = (spark.readStream.schema(stream_schema)
+                  .parquet(str(src / "*")))
+        q = (fn(stream, watermark="1 hour")
+             .writeStream.format("memory").queryName(f"nullkey_{name}")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n = spark.sql(f"SELECT * FROM nullkey_{name}").count()
+        assert n == 2, (name, n)
+
+
+def test_streaming_near_dedup_tolerates_identity_less_stream(spark, tmp_path):
+    """A text-only stream (no conv_id/turn_idx) must still pass analysis:
+    the sentinel falls back to content keys instead of referencing
+    missing columns."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import near_deduped_stream
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    long_a = "alpha " * 30
+    long_b = "bravo " * 30
+    rows = pd.DataFrame({"text": [long_a, long_a, long_b],
+                         "ts": [base] * 3})
+    src = tmp_path / "ident_less_in"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    stream = (spark.readStream.schema("text string, ts timestamp")
+              .parquet(str(src / "*")))
+    q = (near_deduped_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("ident_less_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.sql("SELECT text FROM ident_less_out")
+                 .toPandas()["text"])
+    assert got == sorted([long_a, long_b])
