@@ -77,20 +77,36 @@ def p6_select_regions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g1_estimate_scale",
     sql="""
-    SELECT source,
-           round(quantile_cont(sqrt(n_chars), 0.5), 6) AS scale,
-           count(*) AS n_docs
-    FROM documents WHERE n_chars BETWEEN 50 AND 550
-    GROUP BY source
+    SELECT d.doc_id, d.source, round(sqrt(d.n_chars), 6) AS csize,
+           round(s.scale, 6) AS scale, s.n_docs
+    FROM documents d
+    JOIN (SELECT source, quantile_cont(sqrt(n_chars), 0.5) AS scale,
+                 count(*) AS n_docs
+          FROM documents WHERE n_chars BETWEEN 50 AND 550
+          GROUP BY source) s USING (source)
+    WHERE sqrt(d.n_chars) BETWEEN 0.5 * s.scale AND 4.0 * s.scale
     """,
-    doc="estimate_scale: median sqrt(size) of in-band components "
-        "(ocrolib/psegutils.py:45-53)",
+    doc="estimate_scale + compute_boxmap, folded: per-source median "
+        "sqrt(size) of in-band components (ocrolib/psegutils.py:45-53), "
+        "then keep components whose size sits in a band around that scale "
+        "(psegutils.py:55-63). Doc grain with scale/n_docs carried per "
+        "row, so both G-operators stay oracle-checked from one driver "
+        "slot (the reference chains them the same way: estimate_scale's "
+        "output IS compute_boxmap's threshold). Join strategy left to "
+        "AQE — the per-source aggregate is broadcast at runtime.",
 )
 def g1_estimate_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").where(F.col("n_chars").between(50, 550))
-    return (d.groupBy("source")
-            .agg(F.round(F.percentile(F.sqrt("n_chars"), F.lit(0.5)), 6).alias("scale"),
-                 F.count("*").alias("n_docs")))
+    d = table(spark, sf_dir, "documents")
+    scales = (d.where(F.col("n_chars").between(50, 550))
+              .groupBy("source")
+              .agg(F.percentile(F.sqrt("n_chars"), F.lit(0.5)).alias("_scale"),
+                   F.count("*").alias("n_docs")))
+    return (d.join(scales, "source")
+            .where(F.sqrt("n_chars").between(0.5 * F.col("_scale"),
+                                             4.0 * F.col("_scale")))
+            .select("doc_id", "source",
+                    F.round(F.sqrt("n_chars"), 6).alias("csize"),
+                    F.round("_scale", 6).alias("scale"), "n_docs"))
 
 
 _RUN_LABEL_SQL = """

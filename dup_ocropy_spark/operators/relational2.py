@@ -79,23 +79,10 @@ def g12_spread_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("event_id", "user_id", spread.alias("spread_label"))
 
 
-@register(
-    "g2_boxmap_band",
-    sql="""
-    SELECT doc_id, round(sqrt(n_chars), 6) AS csize
-    FROM documents,
-         (SELECT quantile_cont(sqrt(n_chars), 0.5) AS scale FROM documents)
-    WHERE sqrt(n_chars) BETWEEN 0.5 * scale AND 4.0 * scale
-    """,
-    doc="compute_boxmap: keep components whose size sits in a band around "
-        "the document scale (psegutils.py:55-63)",
-)
-def g2_boxmap_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    scale = d.agg(F.percentile(F.sqrt("n_chars"), F.lit(0.5)).alias("scale"))
-    return (d.crossJoin(F.broadcast(scale))
-            .where(F.sqrt("n_chars").between(0.5 * F.col("scale"), 4.0 * F.col("scale")))
-            .select("doc_id", F.round(F.sqrt("n_chars"), 6).alias("csize")))
+# G2 compute_boxmap is registered inside g1_estimate_scale
+# (relational.py) — the reference chains them (estimate_scale's output is
+# compute_boxmap's threshold), and folding freed the driver slot that
+# ann_ivf_topk (similarity.py) now occupies.
 
 
 @register(

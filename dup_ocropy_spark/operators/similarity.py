@@ -143,9 +143,9 @@ def lsh_topk(e: DataFrame, n_queries: int = N_QUERIES,
 # sample — the standard IVF training pattern) partitions the corpus into k
 # cells; queries probe the nprobe nearest cells only. Assignment is pure
 # JVM (dot products against literal centroid arrays), so the corpus-side
-# pass is one codegen stage + one shuffle on cell id. Not in the query
-# registry (50-entry driver window is full); recall gated in
-# tests/test_recall_gates.py like the LSH paths.
+# pass is one codegen stage + one shuffle on cell id. Registered rows-only
+# (ann_ivf_topk); recall gated in tests/test_recall_gates.py like the LSH
+# paths.
 # ---------------------------------------------------------------------------
 
 IVF_K = 16
@@ -205,6 +205,20 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return emb.select(
         "vec_id", "embedding",
         (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"))
+
+
+@register(
+    "ann_ivf_topk",
+    sql=None,
+    doc="IVF ANN: seeded k-means coarse quantizer trained on a bounded "
+        "hash-ordered sample, pure-JVM cell assignment, nprobe=3 "
+        "cell-local candidate join, exact cosine rerank — the "
+        "clustered-index scale path complementary to sign-projection "
+        "LSH. Non-SQL (iterative quantizer training); recall vs the "
+        "exact ann_cosine_topk twin gated in tests/test_recall_gates.py.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(spark, sf_dir)
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE) -> DataFrame:

@@ -31,7 +31,7 @@ QUERIES = (
     "dedup_exact", "dedup_ngram_jaccard",
     "extract_documents", "extract_documents_classified",
     "extract_documents_html", "extract_documents_spans", "g1_estimate_scale",
-    "g2_boxmap_band", "h3_font_size_estimate", "j1_missing_accounting",
+    "h3_font_size_estimate", "j1_missing_accounting",
     "lang_id_heuristic", "length_profile", "p1_p8_gates",
     "p6_select_regions_topk", "quality_score", "t1_textnorm_family",
     "token_counts",

@@ -19,9 +19,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # forced-broadcast whitelist: side bounded by construction
 BOUNDED_HINTS = {
     "h3_font_size_estimate",   # 1-row corpus median
-    "g2_boxmap_band",          # 1-row scale estimate
     "ann_cosine_topk",         # N_QUERIES=5 query vectors
     "ann_lsh_topk",            # N_QUERIES x N_TABLES rows
+    "ann_ivf_topk",            # N_QUERIES x nprobe rows
     "dedup_embedding_cosine",  # vec_id < 100 literal bound
 }
 
