@@ -340,6 +340,14 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     # persist: the self-join would otherwise run the Python signature UDF
     # twice (measured 2x wall at sf0.1; jobs/dedup_job.py --two-phase
     # materializes the signature table as parquet instead)
+    # a small input (one parquet split) would run the Python signature
+    # kernel AND the band-join probe as a single task. Spreading the input
+    # BEFORE mapInPandas parallelizes both; skipped when the scan already
+    # has enough splits (the 100 TB case), where it would only add an
+    # Exchange ahead of the fused kernel stage.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return simhash_pairs_from(persist_shared(simhash_signatures(docs)))
 
 
@@ -355,17 +363,21 @@ def simhash_pairs_from(sig: DataFrame) -> DataFrame:
     ca = (sig.select("doc_id", "simhash", F.explode(chunks).alias("c"))
           .select("doc_id", "simhash", "c.chunk", "c.ck").alias("ca"))
     cb = ca.alias("cb")
-    cand = (ca.join(cb, (F.col("ca.chunk") == F.col("cb.chunk"))
+    # hamming filter BEFORE the distinct: bit_count(xor) is a codegen
+    # expression evaluated on the join output stream, so rows failing the
+    # threshold never reach the distinct's shuffle — the exchange carries
+    # only true pairs x block multiplicity (<=7) instead of every bucket
+    # collision (3.8M candidate rows -> ~60k at sf0.1; the hot-bucket
+    # size^2 blowup all lands map-side).
+    hamming = F.bit_count(F.col("ca.simhash").bitwiseXOR(F.col("cb.simhash")))
+    return (ca.join(cb, (F.col("ca.chunk") == F.col("cb.chunk"))
                     & (F.col("ca.ck") == F.col("cb.ck"))
                     & (F.col("ca.doc_id") < F.col("cb.doc_id")))
+            .where(hamming <= SIMHASH_HAMMING_MAX)
             .select(F.col("ca.doc_id").alias("doc_a"),
                     F.col("cb.doc_id").alias("doc_b"),
-                    F.col("ca.simhash").alias("ha"),
-                    F.col("cb.simhash").alias("hb"))
+                    hamming.alias("hamming"))
             .distinct())
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.where(hamming <= SIMHASH_HAMMING_MAX)
-            .select("doc_a", "doc_b", hamming.alias("hamming")))
 
 
 def dedup_clusters(docs: DataFrame,
