@@ -83,12 +83,21 @@ FAT_CONVS = 384
 FAT_PAYLOAD_BYTES = 900_000
 
 
+# fat files are ONE row group each (unsplittable): the old
+# defaultParallelism-file cache gave a 32-core bench only 8 tasks, so a
+# single contended core owned the whole tail (r4 spread 4.8/7.0/20.8 s).
+# 64 files x ~6 rows = 2 waves of fine-grained tasks — the same rule a
+# production fat tier follows: size files so tasks >> cores.
+FAT_FILES = 64
+
+
 def ensure_fat_transcripts(spark) -> str:
-    path = os.path.join(CACHE_ROOT, f"fat_transcripts_n{FAT_CONVS}")
+    path = os.path.join(CACHE_ROOT, f"fat_transcripts_n{FAT_CONVS}_p{FAT_FILES}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from dup_ocropy_spark.sources.transcripts import synth_fat_transcripts
 
-        synth_fat_transcripts(spark, FAT_CONVS, n_paras=100, para_words=1350) \
+        synth_fat_transcripts(spark, FAT_CONVS, n_paras=100, para_words=1350,
+                              partitions=FAT_FILES) \
             .write.mode("overwrite").parquet(path)
     return path
 
@@ -243,6 +252,20 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     samples = [timed_noop(lm_scores(bench_docs, lm_table)) for _ in range(3)]
     queries["lm_score"] = round(min(samples), 3)
     spread["lm_score"] = _spread(samples)
+
+    # batched BPE trainer at a realistic merge request (512; the synth
+    # corpus's 31-word vocabulary saturates at ~94 merges — SCALE.md
+    # §7c): the entry pins the O(rounds/K) wall claim round-over-round.
+    # One sample per batch size — training is a many-job aggregate, far
+    # less contention-sensitive than single-job timings, and 3x would
+    # cost the suite ~20s. Outside suite_core (which stays the stable
+    # round-2 comparison series).
+    from dup_ocropy_spark.operators.codec import train_bpe
+
+    for b in (8, 32):
+        t0 = time.time()
+        train_bpe(bench_docs, n_merges=512, batch=b)
+        queries[f"bpe_train_b{b}"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     # the round-2 suite (stable across rounds): new bench entries keep

@@ -62,6 +62,19 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
 
     state = state.mapInPandas(
         symbolize, schema="syms array<string>, count long").persist()
+    # Right-size the ITERATED state: the distinct-word table is tiny
+    # relative to the corpus (31 words at sf0.1 synth; ~10^8 at 100 TB)
+    # but inherits the corpus shuffle partitioning, so every round pays
+    # dozens of near-empty tasks for the pair-count, merge, and
+    # localCheckpoint jobs — overhead that dominates small-vocabulary
+    # training. The count() materializes the persist (round 1 would
+    # anyway); coalesce reads the cached blocks, no shuffle. ~256k
+    # words/partition keeps rounds narrow until the table genuinely
+    # needs width.
+    n_words = state.count()
+    parts = max(1, -(-n_words // 262_144))
+    if parts < state.rdd.getNumPartitions():
+        state = state.coalesce(parts)
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         k_round = min(batch, n_merges - len(merges))
