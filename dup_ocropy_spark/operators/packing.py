@@ -23,12 +23,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def _chunk(docs: DataFrame, budget: int) -> DataFrame:
+def _chunk(docs: DataFrame, budget: int,
+           packing: str = "global") -> DataFrame:
     """_start (bigint token offset) -> seq_id/seq_offset via exact integer
     division (``div``, not float ``/``: doubles lose exactness past 2^53
-    total tokens — a regime a 100 TB corpus actually reaches)."""
+    total tokens — a regime a 100 TB corpus actually reaches).
+
+    ``seq_id`` carries column metadata ``{packing, budget}`` so downstream
+    consumers can tell a GLOBAL token stream from group-local seq_ids —
+    ``write_packed_shards(budget=...)`` reconstructs absolute token
+    intervals as ``seq_id*budget + seq_offset``, which is only meaningful
+    for global packing, and refuses partition-packed frames."""
+    seq_id = F.expr(f"_start div {budget}").alias(
+        "seq_id", metadata={"packing": packing, "budget": budget})
     return (docs
-            .withColumn("seq_id", F.expr(f"_start div {budget}"))
+            .withColumn("seq_id", seq_id)
             .withColumn("seq_offset", F.col("_start") % budget)
             .drop("_start"))
 
@@ -49,7 +58,8 @@ def pack_sequences(docs: DataFrame, budget: int,
     if partition_col is not None:
         w = (W.partitionBy(partition_col).orderBy(*order_cols)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-        return _chunk(docs.withColumn("_start", F.sum(nt).over(w) - nt), budget)
+        return _chunk(docs.withColumn("_start", F.sum(nt).over(w) - nt),
+                      budget, packing=f"per:{partition_col}")
     n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
     ranged = (docs.repartitionByRange(n, *order_cols)
               .withColumn("_pid", F.spark_partition_id()))

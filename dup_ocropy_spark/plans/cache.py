@@ -15,12 +15,24 @@ after its terminal action and exactly the library's own blocks are
 freed. The two-phase job modes (materialize signatures to parquet, then
 join from the re-read table) remain the documented 100 TB path — they
 never hold executor-memory residency at all.
+
+Scope contract: the tracker is process-global, so a bare
+``release_shared()`` assumes ONE pipeline materializes at a time (true
+for the jobs/ entrypoints — each is its own spark-submit). Interleaved
+consumers in a shared session (threads, notebooks running two jobs)
+must scope their release: take ``scope_token()`` BEFORE building, pass
+it to ``release_shared(token)`` after the terminal action, and only the
+frames persisted inside that span are evicted. All mutation is behind
+one lock, so concurrent registrations never corrupt the list.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 
 
@@ -28,17 +40,30 @@ def persist_shared(df: DataFrame) -> DataFrame:
     """persist() a multi-consumer intermediate and track it for
     ``release_shared``. Returns the persisted frame."""
     df = df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
-def release_shared() -> int:
-    """Unpersist every tracked intermediate (most-recent first); returns
-    how many were released. Safe to call repeatedly / with nothing
-    tracked. Non-blocking eviction — executors drop blocks async."""
+def scope_token() -> int:
+    """Snapshot the tracker position. Pass the token to
+    ``release_shared`` to free only frames persisted AFTER this call —
+    the interleaved-consumer-safe form (module docstring)."""
+    with _LOCK:
+        return len(_TRACKED)
+
+
+def release_shared(token: int = 0) -> int:
+    """Unpersist tracked intermediates registered at or after ``token``
+    (most-recent first; default 0 = everything). Returns how many were
+    released. Safe to call repeatedly / with nothing tracked.
+    Non-blocking eviction — executors drop blocks async."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if len(_TRACKED) <= max(token, 0):
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist()
             n += 1

@@ -49,6 +49,12 @@ def write_packed_shards(packed: DataFrame, path: str,
     ``tok_start``/``tok_len`` (the token slice of the document belonging
     to THIS shard) and each shard is fully self-contained. All pure JVM
     expressions; the explode emits >1 row only for shard-edge documents.
+
+    Budget mode requires GLOBAL packing (pack_sequences WITHOUT
+    partition_col): the absolute token interval is rebuilt as
+    ``seq_id*budget + seq_offset``, which group-local seq_ids would
+    corrupt. Frames from pack_sequences carry a metadata tag and
+    partition-packed ones are refused with ValueError.
     """
     if budget is None:
         out = packed.withColumn("shard_id",
@@ -63,6 +69,26 @@ def write_packed_shards(packed: DataFrame, path: str,
          .partitionBy("shard_id")
          .parquet(path))
         return
+
+    # self-contained mode reconstructs a GLOBAL token interval as
+    # seq_id*budget + seq_offset — only valid when pack_sequences ran in
+    # global mode. A partition_col-packed frame has group-LOCAL seq_ids;
+    # slicing those would silently interleave different groups into the
+    # same token ranges. pack_sequences tags seq_id with column metadata,
+    # so the misuse is refused here (frames from other producers, with no
+    # tag, are trusted — the docstring states the requirement).
+    md = dict(packed.schema["seq_id"].metadata or {})
+    if str(md.get("packing", "global")).startswith("per:"):
+        raise ValueError(
+            "write_packed_shards(budget=...) requires GLOBAL packing; this "
+            f"frame was packed with partition_col ({md['packing']}), whose "
+            "seq_ids are group-local. Re-pack without partition_col, or "
+            "write each group with its own default-mode call.")
+    if "budget" in md and int(md["budget"]) != int(budget):
+        raise ValueError(
+            f"budget mismatch: frame was packed with budget={md['budget']}, "
+            f"writer called with budget={budget} — token intervals would be "
+            "reconstructed on the wrong grid.")
 
     B = seqs_per_shard * budget
     # reconstruct the doc's global token interval [s, s+n) from the

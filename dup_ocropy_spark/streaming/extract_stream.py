@@ -278,8 +278,10 @@ def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
     ``spark.read.parquet`` time — rows appended to the snapshot dir are
     NOT seen by later micro-batches until
     ``spark.catalog.refreshByPath(dir)`` is called or the stream
-    restarts. For a daily-append table, refresh (or restart) after each
-    batch publish. Fingerprints come from ``_payload_fp`` on BOTH sides
+    restarts. ``jobs/stream_job.py --dedup snapshot`` implements the
+    refresh cycle: a foreachBatch sink calls refreshByPath at the start
+    of every micro-batch, so fps a batch publisher appends mid-run gate
+    the next batch (two-publish cycle pinned in test_jobs). Fingerprints come from ``_payload_fp`` on BOTH sides
     (turn_fingerprints uses it too): blank turns carry a
     (conv_id, turn_idx) sentinel, so distinct payload-less turns never
     collide on md5('') — the SAME blank turn re-ingested still matches

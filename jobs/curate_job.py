@@ -103,7 +103,14 @@ def main(argv: list[str]) -> int:
         from dup_ocropy_spark.operators.dedup import (
             dedup_against_snapshot, doc_fingerprints,
         )
+        from dup_ocropy_spark.plans.cache import persist_shared
 
+        # the snapshot mode consumes the curated plan THREE times (the
+        # survivor write, the candidate count, the unseen-fp count) —
+        # without a persist each consumer re-runs extraction /
+        # decontamination / LM scoring over the whole batch just to
+        # split a stats counter. release_shared() below frees it.
+        curated = persist_shared(curated)
         snap = args.since_snapshot
         # probe through Spark, not os.path: the snapshot lives on
         # whatever filesystem the job runs against (HDFS/S3/local) — a

@@ -3,7 +3,8 @@
 
     spark-submit --py-files dup_ocropy_spark.zip jobs/stream_job.py \
         --input <landing dir> --output <out dir> --checkpoint <ckpt dir> \
-        [--dedup exact|near|off] [--watermark "1 hour"] \
+        [--dedup exact|near|snapshot|off] [--snapshot-fps <fp table dir>] \
+        [--watermark "1 hour"] \
         [--timeout-sec N]   # stop after N idle seconds (tests/backfill)
 
 Pipeline (all bounded-state, append mode):
@@ -17,6 +18,20 @@ band (streaming/extract_stream.near_deduped_stream): an arriving turn is
 dropped if ANY band key was seen inside the watermark — the online LSH
 gate; the batch sweep (jobs/dedup_job.py) remains the retroactive
 authority. ``exact`` dedups on the normalized-payload fingerprint only.
+
+``--dedup snapshot`` additionally anti-joins each turn against the
+batch-maintained TURN-grain fingerprint table at ``--snapshot-fps``
+(build it with ``streaming.turn_fingerprints`` / ``extract_job
+--turn-fp-out``). Spark caches a parquet static side's FILE LISTING at
+read time, so this mode sinks through ``foreachBatch`` and calls
+``spark.catalog.refreshByPath`` at the START of every micro-batch —
+fingerprints a batch publisher APPENDS mid-run are picked up by the
+next micro-batch, no restart needed, and the refresh-then-join order is
+tied to batch boundaries (no race with the publisher: fps written
+before a landing file are always visible to the batch that reads it).
+Trade-off vs the plain parquet sink: on failure-replay foreachBatch is
+at-least-once per epoch rather than exactly-once; downstream readers
+dedup on (conv_id, turn_idx) as with any at-least-once feed.
 
 On a real cluster the trigger runs forever; ``--timeout-sec`` bounds the
 run for tests and bounded backfills.
@@ -40,7 +55,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--dedup", choices=("exact", "near", "off"), default="near")
+    ap.add_argument("--dedup", choices=("exact", "near", "snapshot", "off"),
+                    default="near")
+    ap.add_argument("--snapshot-fps", default=None, metavar="DIR",
+                    help="turn-grain fingerprint table for --dedup "
+                         "snapshot (refreshed every micro-batch, so a "
+                         "batch job may append to it while this runs)")
     ap.add_argument("--watermark", default="1 hour")
     ap.add_argument("--timeout-sec", type=float, default=None,
                     help="stop after this many seconds with no new data "
@@ -51,7 +71,7 @@ def main(argv: list[str]) -> int:
     from dup_ocropy_spark.session import get_spark
     from dup_ocropy_spark.streaming.extract_stream import (
         deduped_stream, extracted_stream, near_deduped_stream,
-        transcript_stream,
+        snapshot_deduped_stream, transcript_stream,
     )
 
     spark = get_spark(app_name="dup_ocropy_stream")
@@ -60,14 +80,36 @@ def main(argv: list[str]) -> int:
         stream = near_deduped_stream(stream, args.watermark)
     elif args.dedup == "exact":
         stream = deduped_stream(stream, args.watermark).drop("fp")
+    elif args.dedup == "snapshot":
+        if not args.snapshot_fps:
+            ap.error("--dedup snapshot requires --snapshot-fps DIR")
+        seen = spark.read.parquet(args.snapshot_fps)
+        stream = snapshot_deduped_stream(stream, seen,
+                                         args.watermark).drop("fp")
     out = extracted_stream(stream)
 
-    q = (out.writeStream
-         .format("parquet")
-         .option("path", args.output)
-         .option("checkpointLocation", args.checkpoint)
-         .outputMode("append")
-         .start())
+    sink = out.writeStream
+    if args.dedup == "snapshot":
+        # refresh the static side's cached file listing BEFORE each
+        # micro-batch executes its stream-static anti-join: the join runs
+        # when batch_df is acted on inside this function, so fingerprints
+        # appended to the table between triggers gate the very next
+        # batch (module docstring: the refresh-or-restart caveat, made a
+        # job behavior instead of an operator's footnote)
+        def _sink(batch_df, batch_id):
+            spark.catalog.refreshByPath(args.snapshot_fps)
+            batch_df.write.mode("append").parquet(args.output)
+
+        q = (sink.foreachBatch(_sink)
+             .option("checkpointLocation", args.checkpoint)
+             .outputMode("append")
+             .start())
+    else:
+        q = (sink.format("parquet")
+             .option("path", args.output)
+             .option("checkpointLocation", args.checkpoint)
+             .outputMode("append")
+             .start())
     if args.timeout_sec is None:
         q.awaitTermination()
     else:

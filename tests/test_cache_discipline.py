@@ -64,3 +64,24 @@ def test_release_shared_is_idempotent_and_safe_empty(spark):
     release_shared()
     assert release_shared() == 0
     assert release_shared() == 0
+
+
+def test_scoped_release_only_frees_own_span(spark):
+    """Interleaved consumers in one session scope their release: frames
+    persisted before the token survive a release_shared(token); a final
+    bare release frees the rest (the single-pipeline default)."""
+    from dup_ocropy_spark.plans.cache import (
+        n_tracked, persist_shared, release_shared, scope_token,
+    )
+
+    release_shared()
+    outer = persist_shared(spark.range(100).withColumn("x", F.col("id") * 2))
+    outer.count()
+    tok = scope_token()
+    inner = persist_shared(spark.range(50).withColumn("y", F.col("id") + 1))
+    inner.count()
+    assert release_shared(tok) == 1          # only the inner span
+    assert n_tracked() == 1
+    assert outer.storageLevel.useMemory      # outer still persisted
+    assert release_shared() == 1             # bare release frees the rest
+    assert n_tracked() == 0

@@ -568,3 +568,80 @@ def test_dedup_job_string_ids_all_methods(spark, tmp_path, capsys):
             # payload-less docs never appear in any pair
             flat = {x for p in pairs for x in p}
             assert not ({"conv006", "conv007"} & flat), (method, pairs)
+
+
+def test_stream_job_snapshot_mode_two_publish_refresh(spark, tmp_path):
+    """The documented snapshot-refresh OPERATIONAL CYCLE, job-tested:
+    a batch publisher appends turn fingerprints to the fp table while
+    the stream job runs, and the job's foreachBatch refreshByPath makes
+    those fps gate the very next micro-batch — no restart. Publish 1
+    seeds the table (turn A already ingested); the stream extracts only
+    B from landing file 1. Publish 2 appends C's fp and THEN lands a
+    file re-ingesting C alongside new D: only D survives. Ordering is
+    deterministic because any micro-batch that reads the landing file
+    refreshes the listing first, and the fps were written before the
+    file existed."""
+    import datetime as dt
+    import os
+    import threading
+    import time
+
+    import pandas as pd
+
+    from dup_ocropy_spark.streaming import turn_fingerprints
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    texts = {k: f"payload {k} with plenty of distinct words for the gate"
+             for k in "ABCD"}
+
+    def frame(keys, minute):
+        return spark.createDataFrame(pd.DataFrame({
+            "conv_id": [f"c{k}" for k in keys],
+            "turn_idx": pd.array([0] * len(keys), dtype="int32"),
+            "role": "user",
+            "text": [texts[k] for k in keys],
+            "tool": "",
+            "ts": [base + dt.timedelta(minutes=minute)] * len(keys),
+        }))
+
+    snap, land, out_dir, ck = (str(tmp_path / d)
+                               for d in ("fps", "land", "out", "ck"))
+    os.makedirs(land)
+    turn_fingerprints(frame("A", 0)).write.mode("overwrite").parquet(snap)
+    frame("AB", 0).coalesce(1).write.parquet(os.path.join(land, "f1"))
+
+    rc: dict = {}
+    th = threading.Thread(target=lambda: rc.update(code=stream_job.main(
+        ["--input", land + "/*", "--output", out_dir,
+         "--checkpoint", ck, "--dedup", "snapshot", "--snapshot-fps", snap,
+         "--timeout-sec", "10"])))
+    th.start()
+
+    def wait_for(want: set, deadline: float = 90.0) -> set:
+        end = time.time() + deadline
+        got: set = set()
+        while time.time() < end:
+            try:
+                got = set(spark.read.parquet(out_dir)
+                          .select("conv_id").toPandas().conv_id)
+            except Exception:
+                got = set()
+            if want <= got:
+                return got
+            time.sleep(0.3)
+        raise AssertionError(f"sink never produced {want}; got {got}")
+
+    try:
+        got1 = wait_for({"cB"})
+        assert "cA" not in got1  # blocked by publish-1 history
+        # publish 2: fps FIRST, then the landing file that re-ingests C
+        turn_fingerprints(frame("C", 5)).write.mode("append").parquet(snap)
+        frame("CD", 5).coalesce(1).write.parquet(os.path.join(land, "f2"))
+        wait_for({"cD"})
+    finally:
+        th.join(timeout=120)
+    assert rc.get("code") == 0 and not th.is_alive()
+    final = set(spark.read.parquet(out_dir).select("conv_id")
+                .toPandas().conv_id)
+    # A and C blocked (C only via the mid-run refresh); B and D extracted
+    assert final == {"cB", "cD"}

@@ -225,3 +225,22 @@ def test_self_contained_shards_zero_token_docs(spark, tmp_path):
     # shard_id always equals seq_id div seqs_per_shard for every row
     for (shard, _), r in rows.iterrows():
         assert int(r.seq_id) // sps == shard, (shard, dict(r))
+
+
+def test_self_contained_shards_refuse_partition_packed_frames(docs, tmp_path):
+    """budget mode reconstructs GLOBAL token intervals as
+    seq_id*budget + seq_offset; a partition_col-packed frame has
+    group-local seq_ids, so feeding it in would silently interleave
+    groups into overlapping token ranges. pack_sequences tags seq_id
+    with its packing mode and the writer refuses the mismatch (and a
+    wrong-budget grid)."""
+    from dup_ocropy_spark.plans.shard import write_packed_shards
+
+    grouped = pack_sequences(docs, 512, partition_col="lang")
+    with pytest.raises(ValueError, match="GLOBAL packing"):
+        write_packed_shards(grouped, str(tmp_path / "bad"),
+                            seqs_per_shard=4, budget=512)
+    packed = pack_sequences(docs, 512)
+    with pytest.raises(ValueError, match="budget mismatch"):
+        write_packed_shards(packed, str(tmp_path / "bad2"),
+                            seqs_per_shard=4, budget=256)
