@@ -274,14 +274,16 @@ def snapshot_deduped_stream(stream: DataFrame, seen_fps: DataFrame,
 
     Plumbing: one stream-static left-anti join on fp (no streaming state
     for the join) + one dropDuplicatesWithinWatermark. Caveat: a
-    parquet-backed static side caches its FILE LISTING at
-    ``spark.read.parquet`` time — rows appended to the snapshot dir are
-    NOT seen by later micro-batches until
-    ``spark.catalog.refreshByPath(dir)`` is called or the stream
-    restarts. ``jobs/stream_job.py --dedup snapshot`` implements the
-    refresh cycle: a foreachBatch sink calls refreshByPath at the start
-    of every micro-batch, so fps a batch publisher appends mid-run gate
-    the next batch (two-publish cycle pinned in test_jobs). Fingerprints come from ``_payload_fp`` on BOTH sides
+    parquet-backed static side embedded in the streaming plan PINS its
+    file listing at ``spark.read.parquet`` time — rows appended to the
+    snapshot dir are NOT seen by later micro-batches until the stream
+    restarts. ``spark.catalog.refreshByPath`` does NOT lift this for an
+    uncached relation (it only recaches persisted plans; measured — an
+    appended fp leaked through with a refresh before every batch). For
+    a table that grows mid-run, do the anti-join inside a foreachBatch
+    sink with a FRESH ``spark.read.parquet`` per micro-batch, as
+    ``jobs/stream_job.py --dedup snapshot`` does (two-publish cycle
+    pinned in test_jobs). Fingerprints come from ``_payload_fp`` on BOTH sides
     (turn_fingerprints uses it too): blank turns carry a
     (conv_id, turn_idx) sentinel, so distinct payload-less turns never
     collide on md5('') — the SAME blank turn re-ingested still matches

@@ -22,16 +22,20 @@ authority. ``exact`` dedups on the normalized-payload fingerprint only.
 ``--dedup snapshot`` additionally anti-joins each turn against the
 batch-maintained TURN-grain fingerprint table at ``--snapshot-fps``
 (build it with ``streaming.turn_fingerprints`` / ``extract_job
---turn-fp-out``). Spark caches a parquet static side's FILE LISTING at
-read time, so this mode sinks through ``foreachBatch`` and calls
-``spark.catalog.refreshByPath`` at the START of every micro-batch —
-fingerprints a batch publisher APPENDS mid-run are picked up by the
-next micro-batch, no restart needed, and the refresh-then-join order is
-tied to batch boundaries (no race with the publisher: fps written
-before a landing file are always visible to the batch that reads it).
-Trade-off vs the plain parquet sink: on failure-replay foreachBatch is
-at-least-once per epoch rather than exactly-once; downstream readers
-dedup on (conv_id, turn_idx) as with any at-least-once feed.
+--turn-fp-out``). A parquet static side embedded in a streaming plan
+pins its FILE LISTING at plan time — and ``spark.catalog.refreshByPath``
+does NOT fix that for an uncached relation (it only recaches persisted
+plans; measured here: an appended fp still leaked through with a
+refresh before every batch). So this mode sinks through
+``foreachBatch`` and RE-READS the fp table fresh inside every
+micro-batch (a new file index per batch): fingerprints a batch
+publisher APPENDS mid-run gate the very next micro-batch, no restart
+needed, and the read-then-join order is tied to batch boundaries (no
+race with the publisher: fps written before a landing file are always
+visible to the batch that reads it). Trade-off vs the plain parquet
+sink: on failure-replay foreachBatch is at-least-once per epoch rather
+than exactly-once; downstream readers dedup on (conv_id, turn_idx) as
+with any at-least-once feed.
 
 On a real cluster the trigger runs forever; ``--timeout-sec`` bounds the
 run for tests and bounded backfills.
@@ -71,7 +75,7 @@ def main(argv: list[str]) -> int:
     from dup_ocropy_spark.session import get_spark
     from dup_ocropy_spark.streaming.extract_stream import (
         deduped_stream, extracted_stream, near_deduped_stream,
-        snapshot_deduped_stream, transcript_stream,
+        transcript_stream,
     )
 
     spark = get_spark(app_name="dup_ocropy_stream")
@@ -83,29 +87,35 @@ def main(argv: list[str]) -> int:
     elif args.dedup == "snapshot":
         if not args.snapshot_fps:
             ap.error("--dedup snapshot requires --snapshot-fps DIR")
-        seen = spark.read.parquet(args.snapshot_fps)
-        stream = snapshot_deduped_stream(stream, seen,
-                                         args.watermark).drop("fp")
-    out = extracted_stream(stream)
+        # keep only the fp computation + in-window dedup in the streaming
+        # plan (stateful, checkpointed); the HISTORY anti-join moves into
+        # the sink below so its static side can be re-read per batch
+        stream = deduped_stream(stream, args.watermark)
 
-    sink = out.writeStream
     if args.dedup == "snapshot":
-        # refresh the static side's cached file listing BEFORE each
-        # micro-batch executes its stream-static anti-join: the join runs
-        # when batch_df is acted on inside this function, so fingerprints
-        # appended to the table between triggers gate the very next
-        # batch (module docstring: the refresh-or-restart caveat, made a
-        # job behavior instead of an operator's footnote)
+        # a static parquet frame built once would pin its file listing in
+        # the streaming plan (module docstring: refreshByPath does not
+        # help an uncached relation) — re-read the fp table inside each
+        # micro-batch so mid-run appends gate the next batch. Same
+        # anti-join semantics as snapshot_deduped_stream: both sides key
+        # on _payload_fp (deduped_stream / turn_fingerprints), and
+        # in-window-dedup-then-history-join drops exactly the same rows
+        # as the operator's join-then-dedup order.
         def _sink(batch_df, batch_id):
-            spark.catalog.refreshByPath(args.snapshot_fps)
-            batch_df.write.mode("append").parquet(args.output)
+            seen = spark.read.parquet(args.snapshot_fps)
+            fresh = (batch_df
+                     .join(seen.select("fp"), "fp", "left_anti")
+                     .drop("fp"))
+            extracted_stream(fresh).write.mode("append").parquet(args.output)
 
-        q = (sink.foreachBatch(_sink)
+        q = (stream.writeStream
+             .foreachBatch(_sink)
              .option("checkpointLocation", args.checkpoint)
              .outputMode("append")
              .start())
     else:
-        q = (sink.format("parquet")
+        q = (extracted_stream(stream).writeStream
+             .format("parquet")
              .option("path", args.output)
              .option("checkpointLocation", args.checkpoint)
              .outputMode("append")
