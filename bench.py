@@ -7,7 +7,12 @@ Default mode (driver contract): runs the headline queries at
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
-     "turns": N, "turns_per_sec": r}
+     "turns": N, "turns_per_sec": r,
+     "hw_control_turns_per_sec": {"8": ..., "32": ...}}
+
+``hw_control_turns_per_sec`` is a same-window no-Spark pool rate over the
+identical kernel (host-drift stamp: compare it across rounds before
+reading any suite delta as a plan regression).
 
 The flagship number is extracted-turns/sec on the deterministic synthetic
 transcript table sized to the sf (BASELINE.json metric). Timed actions
@@ -285,6 +290,19 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         "turns_per_sec": round(n_turns / t_extract, 1),
     }
     spark.stop()
+    # same-window hardware calibration: the no-Spark pool rate over the
+    # identical kernel, recorded IN the suite JSON so round-over-round
+    # comparisons can separate host drift from plan drift (r5 lesson: a
+    # window where the 32-proc control ran at half its historical band
+    # made the whole suite read ~2x slower with zero code change — the
+    # pure-ALU spin showed no steal, i.e. the loss was shared memory
+    # bandwidth, which only a kernel-shaped control exposes). Short
+    # windows (reps_mult=2) are fine: this is a rate stamp, not an
+    # efficiency ratio.
+    hw = {"8": round(_mp_control(min(8, cpus), reps_mult=2))}
+    if cpus > 8:
+        hw[str(cpus)] = round(_mp_control(cpus, reps_mult=2))
+    result["hw_control_turns_per_sec"] = hw
     return result
 
 
@@ -311,13 +329,16 @@ def _scaling_point(cpus: int) -> dict:
     return json.loads(line)
 
 
-def _mp_control(procs: int, n_convs: int = 600) -> float:
+def _mp_control(procs: int, n_convs: int = 600, reps_mult: int = 8) -> float:
     """No-Spark control: raw multiprocessing.Pool over the same kernel,
     pinned to `procs` cores — measures the box's own scaling ceiling
     (memory bandwidth / clocks), which Spark cannot beat. The work list is
     repeated proportionally to `procs` so every config times >=10s of
     steady state (600 convs alone is ~7k turns: a sub-second window whose
-    noise once produced a nonsense 'superlinear' control eff)."""
+    noise once produced a nonsense 'superlinear' control eff).
+    ``reps_mult`` trades window length for cost: keep 8 for the scaling
+    protocol (ratios need long steady state); the per-suite calibration
+    uses 2 (a rate estimate +-10% is enough to date-stamp the host)."""
     import multiprocessing as mp
 
     from dup_ocropy_spark.sources.transcripts import synth_conv
@@ -327,7 +348,7 @@ def _mp_control(procs: int, n_convs: int = 600) -> float:
         frames = [synth_conv(i)[0] for i in range(n_convs)]
         # x8: after the round-3 kernel speedup (~5.8k turns/s/core) the x4
         # multiplier gave a ~5s window and a nonsense superlinear control
-        work = frames * (8 * procs)
+        work = frames * (reps_mult * procs)
         n_turns = sum(len(f) for f in work)
         with mp.Pool(procs) as p:
             p.map(_mp_work, frames)  # warm imports in every worker

@@ -115,6 +115,31 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     return merges
 
 
+def save_codec(path: str, merges: list[tuple[str, str]]) -> None:
+    """Persist a trained merge list as a driver-local JSON artifact (the
+    codec analog of sources/models.save_model — 2 strings per merge, so
+    even a 32k-merge codec is a few hundred KB)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"format": "bpe_merges_v1",
+                   "n_merges": len(merges),
+                   "merges": [[a, b] for a, b in merges]}, f)
+
+
+def load_codec(path: str) -> list[tuple[str, str]]:
+    """Load a save_codec artifact; validates the format tag so a model
+    file or arbitrary JSON is refused instead of mis-trained."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("format") != "bpe_merges_v1":
+        raise ValueError(f"{path}: not a bpe_merges_v1 codec artifact "
+                         f"(format={obj.get('format')!r})")
+    return [(a, b) for a, b in obj["merges"]]
+
+
 def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
                      text_col: str = "text") -> DataFrame:
     """Append ``n_tokens_bpe_learned``: the document's token count under

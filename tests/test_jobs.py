@@ -645,3 +645,57 @@ def test_stream_job_snapshot_mode_two_publish_refresh(spark, tmp_path):
                 .toPandas().conv_id)
     # A and C blocked (C only via the mid-run refresh); B and D extracted
     assert final == {"cB", "cD"}
+
+
+def test_pack_job_default_and_self_contained_with_codec(spark, tmp_path, capsys):
+    """The packing CLI closes the curation loop (docs -> tokens -> global
+    seq ids -> shard dirs). Default mode: every doc lands exactly once,
+    offsets within budget. --self-contained --train-codec: trains + saves
+    a codec artifact (loadable, refuses non-codec JSON), and the written
+    slices tile the corpus token count exactly."""
+    import glob
+
+    import pack_job
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "text": [f"document number {i} " + ("alpha beta gamma delta " * (i % 7 + 1))
+                 for i in range(60)],
+    })
+    src = str(tmp_path / "pdocs")
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+
+    out1 = str(tmp_path / "shards_default")
+    rep = _run(pack_job, ["--input", src, "--output", out1,
+                          "--budget", "64", "--seqs-per-shard", "4"], capsys)
+    assert rep["n_docs"] == 60 and rep["codec"] == "regex"
+    assert rep["n_seqs"] >= 1 and rep["n_shards"] >= 1
+    back = spark.read.parquet(out1)
+    assert back.count() == 60  # default mode: one row per doc
+    assert back.where("seq_offset >= 64 OR seq_offset < 0").count() == 0
+    assert len(glob.glob(f"{out1}/shard_id=*")) == rep["n_shards"]
+
+    codec_path = str(tmp_path / "merges.json")
+    out2 = str(tmp_path / "shards_sc")
+    rep2 = _run(pack_job, ["--input", src, "--output", out2,
+                           "--budget", "64", "--seqs-per-shard", "4",
+                           "--self-contained",
+                           "--train-codec", "24", "--codec-out", codec_path],
+                capsys)
+    from dup_ocropy_spark.operators.codec import (
+        bpe_token_counts, load_codec,
+    )
+
+    merges = load_codec(codec_path)
+    assert 0 < len(merges) <= 24 and rep2["codec"] == f"trained:{len(merges)}"
+    # slices tile the learned-codec token total exactly
+    want = bpe_token_counts(spark.read.parquet(src), merges) \
+        .agg({"n_tokens_bpe_learned": "sum"}).collect()[0][0]
+    assert rep2["n_tokens"] == want and rep2["n_docs"] == 60
+    # a non-codec JSON is refused
+    bad = tmp_path / "model.json"
+    bad.write_text('{"weights": [1, 2, 3]}')
+    with pytest.raises(ValueError, match="bpe_merges_v1"):
+        pack_job.main(["--input", src, "--output", str(tmp_path / "x"),
+                       "--codec", str(bad)])
