@@ -299,7 +299,7 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     # bandwidth, which only a kernel-shaped control exposes). Short
     # windows (reps_mult=2) are fine: this is a rate stamp, not an
     # efficiency ratio.
-    hw = {"8": round(_mp_control(min(8, cpus), reps_mult=2))}
+    hw = {str(min(8, cpus)): round(_mp_control(min(8, cpus), reps_mult=2))}
     if cpus > 8:
         hw[str(cpus)] = round(_mp_control(cpus, reps_mult=2))
     result["hw_control_turns_per_sec"] = hw

@@ -74,7 +74,17 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     n_words = state.count()
     parts = max(1, -(-n_words // 262_144))
     if parts < state.rdd.getNumPartitions():
-        state = state.coalesce(parts)
+        # persist the COALESCED frame and free the wide parent: rebinding
+        # to an unpersisted coalesce() would leave the parent's blocks
+        # resident for the whole application (unpersist on the coalesced
+        # plan never matches the cached parent plan — measured), while
+        # the loop below unpersists the rebound frame each round. The
+        # count() materializes the narrow copy from the cached parent
+        # blocks (no recompute), then the parent is dropped.
+        wide = state
+        state = wide.coalesce(parts).persist()
+        state.count()
+        wide.unpersist()
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         k_round = min(batch, n_merges - len(merges))

@@ -64,6 +64,14 @@ DUP_WORD_SQL = (
 
 PACK_BUDGET = 512  # tokens per packed training sequence in the query
 
+# BPE-ish token approximation (letter runs / digit runs / punctuation
+# singletons — the GPT-2 pretokenizer shape, ASCII-simplified). SINGLE
+# SOURCE: the Spark side below, the DuckDB twin, and jobs/pack_job.py
+# all interpolate this literal — hand-copying it desynchronizes the
+# pack job's budgeting from the driver query.
+TOKEN_APPROX_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 
 @register(
     "token_counts",
@@ -80,7 +88,7 @@ PACK_BUDGET = 512  # tokens per packed training sequence in the query
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END
                  AS n_tokens_ws,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               len(regexp_extract_all(text, '{TOKEN_APPROX_PATTERN}'))
                  AS n_tokens_bpe
         FROM documents
       )
@@ -100,7 +108,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = (F.when(F.length(F.trim("text")) == 0, 0)
           .otherwise(F.size(F.split(F.trim("text"), r"\s+"))))
     bpe = F.size(F.regexp_extract_all(
-        "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+        "text", F.lit(TOKEN_APPROX_PATTERN), 0))
     base = d.select("doc_id", "lang",
                     ws.cast("bigint").alias("n_tokens_ws"),
                     bpe.cast("bigint").alias("n_tokens_bpe"))

@@ -16,14 +16,16 @@ freed. The two-phase job modes (materialize signatures to parquet, then
 join from the re-read table) remain the documented 100 TB path — they
 never hold executor-memory residency at all.
 
-Scope contract: the tracker is process-global, so a bare
-``release_shared()`` assumes ONE pipeline materializes at a time (true
-for the jobs/ entrypoints — each is its own spark-submit). Interleaved
-consumers in a shared session (threads, notebooks running two jobs)
-must scope their release: take ``scope_token()`` BEFORE building, pass
-it to ``release_shared(token)`` after the terminal action, and only the
-frames persisted inside that span are evicted. All mutation is behind
-one lock, so concurrent registrations never corrupt the list.
+Scope contract: frames are tracked PER THREAD (operators run on their
+caller's thread), so concurrent pipelines on different threads never
+evict each other's intermediates. A bare ``release_shared()`` is the
+single-pipeline mode: it frees everything, from every thread — correct
+for the jobs/ entrypoints (each is its own spark-submit) and for tests.
+Two pipelines interleaved on ONE thread (sequential notebook cells)
+additionally need their spans to be LIFO-nested: take ``scope_token()``
+BEFORE building and pass it to ``release_shared(token)`` after the
+terminal action; only this thread's frames registered after the token
+are evicted. All mutation is behind one lock.
 """
 
 from __future__ import annotations
@@ -33,37 +35,47 @@ import threading
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-_TRACKED: list[DataFrame] = []
+_TRACKED: dict[int, list[DataFrame]] = {}
 
 
 def persist_shared(df: DataFrame) -> DataFrame:
-    """persist() a multi-consumer intermediate and track it for
-    ``release_shared``. Returns the persisted frame."""
+    """persist() a multi-consumer intermediate and track it (under the
+    calling thread) for ``release_shared``. Returns the persisted frame."""
     df = df.persist()
     with _LOCK:
-        _TRACKED.append(df)
+        _TRACKED.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
 def scope_token() -> int:
-    """Snapshot the tracker position. Pass the token to
-    ``release_shared`` to free only frames persisted AFTER this call —
-    the interleaved-consumer-safe form (module docstring)."""
+    """Snapshot this thread's tracker position. Pass the token to
+    ``release_shared`` to free only this thread's frames persisted AFTER
+    this call — the interleaved-span form (module docstring; spans on
+    one thread must be LIFO-nested)."""
     with _LOCK:
-        return len(_TRACKED)
+        return len(_TRACKED.get(threading.get_ident(), []))
 
 
-def release_shared(token: int = 0) -> int:
-    """Unpersist tracked intermediates registered at or after ``token``
-    (most-recent first; default 0 = everything). Returns how many were
-    released. Safe to call repeatedly / with nothing tracked.
-    Non-blocking eviction — executors drop blocks async."""
+def release_shared(token: int | None = None) -> int:
+    """Unpersist tracked intermediates. ``token=None`` (default) is the
+    single-pipeline mode: every frame from every thread is freed.
+    With a ``scope_token()`` value, only the CALLING thread's frames
+    registered at or after the token are freed (most-recent first).
+    Returns how many were released; safe to call repeatedly / with
+    nothing tracked. Non-blocking eviction — executors drop blocks
+    async."""
     n = 0
     while True:
         with _LOCK:
-            if len(_TRACKED) <= max(token, 0):
+            if token is None:
+                bucket = next((b for b in _TRACKED.values() if b), None)
+            else:
+                bucket = _TRACKED.get(threading.get_ident())
+                if bucket is not None and len(bucket) <= max(token, 0):
+                    bucket = None
+            if not bucket:
                 break
-            df = _TRACKED.pop()
+            df = bucket.pop()
         try:
             df.unpersist()
             n += 1
@@ -73,4 +85,5 @@ def release_shared(token: int = 0) -> int:
 
 
 def n_tracked() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return sum(len(b) for b in _TRACKED.values())

@@ -102,10 +102,13 @@ def main(argv: list[str]) -> int:
         counted = bpe_token_counts(docs, merges, text_col=args.text_col)
         n_tokens_col = "n_tokens_bpe_learned"
     else:
-        # the token_counts driver query's regex approximation (letter
-        # runs / digit runs / non-space punctuation singletons)
+        # the token_counts driver query's regex approximation — the
+        # SHARED pattern constant, so the job's budgeting can never
+        # desynchronize from the driver query's definition
+        from dup_ocropy_spark.operators.textstats import TOKEN_APPROX_PATTERN
+
         approx = F.size(F.regexp_extract_all(
-            args.text_col, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+            args.text_col, F.lit(TOKEN_APPROX_PATTERN), 0))
         counted = docs.withColumn("n_tokens", approx.cast("bigint"))
         n_tokens_col = "n_tokens"
 
@@ -117,10 +120,11 @@ def main(argv: list[str]) -> int:
                         budget=args.budget if args.self_contained else None,
                         n_tokens_col=n_tokens_col)
 
-    # stats from the COMMITTED output (the lineage rule: report what was
-    # written, not the in-flight plan). In self-contained mode rows are
-    # doc SLICES (boundary docs appear in >1 shard), so doc/token totals
-    # come from distinct ids / tok_len sums.
+    # stats from the COMMITTED output, in ONE aggregation pass (the
+    # lineage rule: report what was written, not the in-flight plan; a
+    # second agg would rescan the whole shard dir). In self-contained
+    # mode rows are doc SLICES (boundary docs appear in >1 shard), so
+    # doc/token totals come from distinct ids / tok_len sums.
     out = spark.read.parquet(args.output)
     if args.self_contained:
         agg = out.agg(
@@ -132,14 +136,15 @@ def main(argv: list[str]) -> int:
             F.count("*").alias("docs"),
             F.sum(n_tokens_col).alias("toks"),
             F.countDistinct("shard_id").alias("shards")).collect()[0]
-    # seq count from the committed output too (re-aggregating `packed`
-    # would replay the whole tokenize+pack plan a second time); slices
-    # carry their own seq_id, so max works in both modes
-    n_seqs = out.agg(F.max(F.col("seq_id")).alias("m")).collect()[0]["m"]
+    n_tokens = int(agg["toks"] or 0)
+    # seq count by arithmetic, not max(seq_id)+1: seq_id is a row's
+    # START sequence, so the final doc/slice's overhang would be
+    # undercounted. Packing is global here, so the stream is exactly
+    # ceil(total_tokens / budget) sequences.
     print(json.dumps({
         "n_docs": agg["docs"],
-        "n_tokens": int(agg["toks"] or 0),
-        "n_seqs": int(n_seqs) + 1 if n_seqs is not None else 0,
+        "n_tokens": n_tokens,
+        "n_seqs": -(-n_tokens // args.budget),
         "n_shards": agg["shards"],
         "budget": args.budget,
         "self_contained": bool(args.self_contained),

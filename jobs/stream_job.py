@@ -102,7 +102,18 @@ def main(argv: list[str]) -> int:
         # in-window-dedup-then-history-join drops exactly the same rows
         # as the operator's join-then-dedup order.
         def _sink(batch_df, batch_id):
-            seen = spark.read.parquet(args.snapshot_fps)
+            # table probe through Spark per batch (curate_job's rule: the
+            # fp table lives on whatever filesystem the job runs against),
+            # and tolerant of a not-yet-published table — the first
+            # deployment's batches must treat history as empty, not kill
+            # the stream
+            from pyspark.errors import AnalysisException
+
+            try:
+                seen = spark.read.parquet(args.snapshot_fps)
+                seen.schema  # force resolution
+            except AnalysisException:
+                seen = spark.createDataFrame([], "fp string")
             fresh = (batch_df
                      .join(seen.select("fp"), "fp", "left_anti")
                      .drop("fp"))

@@ -699,3 +699,32 @@ def test_pack_job_default_and_self_contained_with_codec(spark, tmp_path, capsys)
     with pytest.raises(ValueError, match="bpe_merges_v1"):
         pack_job.main(["--input", src, "--output", str(tmp_path / "x"),
                        "--codec", str(bad)])
+
+
+def test_stream_job_snapshot_mode_tolerates_absent_fp_table(spark, tmp_path):
+    """First deployment: the batch publisher hasn't produced the fp table
+    yet. Every micro-batch must treat history as empty (extract all
+    turns) instead of killing the stream on the unreadable static side."""
+    import os
+
+    import pandas as pd
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c0", "c1"],
+        "turn_idx": pd.array([0, 0], dtype="int32"),
+        "role": "user",
+        "text": ["plenty of distinct words here for the gate one",
+                 "plenty of distinct words here for the gate two"],
+        "tool": "",
+        "ts": pd.to_datetime(["2026-01-01"] * 2, utc=True),
+    })).coalesce(1).write.parquet(os.path.join(land, "f1"))
+    assert stream_job.main(
+        ["--input", land + "/*", "--output", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ck"), "--dedup", "snapshot",
+         "--snapshot-fps", str(tmp_path / "never_published"),
+         "--timeout-sec", "1"]) == 0
+    got = set(spark.read.parquet(str(tmp_path / "out"))
+              .select("conv_id").toPandas().conv_id)
+    assert got == {"c0", "c1"}
