@@ -72,6 +72,99 @@ def exact_keep_first(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
             .where(F.col("rk") == 1).select(id_col, "n_copies"))
 
 
+# --- sub-document exact dedup (C4 / Dolma paragraph dedup) ----------------
+# The corpora those pipelines dedupe carry newline-delimited paragraphs;
+# this corpus is single-line word text, so the unit is grafted to a fixed
+# word tile — same operator shape (explode units, keep the globally first
+# occurrence of each repeated unit, reassemble), different splitter.
+TILE_WORDS = 8        # words per dedup unit
+TILE_MIN_CHARS = 20   # shorter units never dedup (C4's short-line guard:
+#                       dropping every later "Yes." would shred documents)
+
+
+@register(
+    "dedup_paragraphs",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ), tiles AS (
+      SELECT doc_id, x.pos AS pos, x.tile AS tile FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(ws) / {TILE_WORDS}.0) AS BIGINT)),
+                 t -> struct_pack(
+                   pos := t,
+                   tile := array_to_string(
+                     list_slice(ws, t * {TILE_WORDS} + 1,
+                                t * {TILE_WORDS} + {TILE_WORDS}), ' ')))) AS x
+        FROM w)
+    ), marked AS (
+      SELECT doc_id, pos, tile,
+             (length(trim(tile)) < {TILE_MIN_CHARS})
+             OR (row_number() OVER (PARTITION BY md5(tile)
+                                    ORDER BY doc_id, pos) = 1) AS keep
+      FROM tiles
+    )
+    SELECT doc_id,
+           count(*) AS n_units,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           md5(coalesce(string_agg(tile, ' ' ORDER BY pos)
+                          FILTER (WHERE keep), '')) AS kept_md5
+    FROM marked GROUP BY doc_id
+    """,
+    doc="C4/Dolma-style sub-document exact dedup: explode each doc into "
+        "fixed 8-word tiles (the paragraph unit grafted to a single-line "
+        "corpus), keep the globally FIRST occurrence of every repeated "
+        "tile (min (doc_id, pos); within-doc repeats dedup too), guard "
+        "units under 20 chars from deduping, reassemble. Output per doc: "
+        "unit/survivor counts + md5 of the deduped text",
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(table(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup(d: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", tile_words: int = TILE_WORDS,
+                    min_chars: int = TILE_MIN_CHARS) -> DataFrame:
+    """Corpus-wide sub-document exact dedup (C4 'three-sentence span' /
+    Dolma paragraph dedup, unit = fixed word tile).
+
+    Scale shape: one shuffle keyed on the unit hash (the first-occurrence
+    window — rows carry the tile text anyway for reassembly, so hashing
+    the partition key only narrows the key bytes), then one shuffle back
+    on the doc id; both AQE-splittable. No self-join, no all-pairs —
+    exact sub-document dedup is linear in corpus size.
+
+    Determinism: 'first' is the smallest (id, pos); id is unique and pos
+    is unique within a doc, so survivor choice never depends on
+    partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    # own projection for the split array: referencing it k times inside
+    # the tiling lambda would inline the split k times (CLAUDE.md)
+    ws = d.select(id_col, F.split(F.trim(text_col), " ").alias("ws"))
+    n_tiles = F.ceil(F.size("ws") / F.lit(tile_words)).cast("int")
+    tile_of = lambda t: F.array_join(  # noqa: E731
+        F.slice("ws", t * tile_words + 1, tile_words), " ")
+    tiles = ws.select(
+        id_col,
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_tiles - 1), tile_of))
+         .alias("pos", "tile"))
+    first = W.partitionBy(F.md5("tile")).orderBy(id_col, "pos")
+    keep = ((F.length(F.trim("tile")) < min_chars)
+            | (F.row_number().over(first) == 1))
+    marked = tiles.select(id_col, "pos", "tile", keep.alias("keep"))
+    kept_sorted = F.transform(
+        F.array_sort(F.collect_list(  # collect_list drops the null (=cut) rows
+            F.when(F.col("keep"), F.struct(F.col("pos"), F.col("tile"))))),
+        lambda s: s["tile"])
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").alias("n_units"),
+                 F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+                 F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5")))
+
+
 # DuckDB's generate_series table function rejects lateral column params,
 # so build a global position series and filter per doc; the per-doc tail
 # window (not generally on the stride grid) is unioned in separately.

@@ -352,14 +352,12 @@ def o1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 5))
 
 
-@register(
-    "o6_chist",
-    sql="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
-    doc="chist: descending count histogram (ocrolib/common.py:471-478)",
-)
-def o6_chist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (table(spark, sf_dir, "events")
-            .groupBy("event_type").agg(F.count("*").alias("n")))
+# O6 chist (ocrolib/common.py:471-478) is registered inside
+# g6_top_separator_runs (relational2.py): each top-run row carries its
+# run's event_type and the corpus-wide count of that type (type_total),
+# so the folded oracle still checks the histogram aggregate per row.
+# The freed driver slot went to dedup_paragraphs (registry folding
+# policy, PLANS.md).
 
 
 # ---------------------------------------------------------------------------

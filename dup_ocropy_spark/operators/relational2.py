@@ -88,42 +88,65 @@ def g12_spread_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "g6_top_separator_runs",
     sql="""
-    SELECT user_id, run_id, n_events FROM (
-      SELECT user_id, run_id, n_events,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY n_events DESC, run_id) AS rk
-      FROM (
-        SELECT user_id, run_id, count(*) AS n_events
+    SELECT t.user_id, t.run_id, t.n_events, t.event_type, h.type_total
+    FROM (
+      SELECT user_id, run_id, n_events, event_type FROM (
+        SELECT user_id, run_id, n_events, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n_events DESC, run_id) AS rk
         FROM (
-          SELECT user_id,
-                 CAST(sum(boundary) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS run_id
+          SELECT user_id, run_id, count(*) AS n_events,
+                 min(event_type) AS event_type
           FROM (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN event_type IS DISTINCT FROM
-                             lag(event_type) OVER (PARTITION BY user_id
-                                                   ORDER BY ts, event_id)
-                        THEN 1 ELSE 0 END AS boundary
-            FROM events
-          )
-        ) GROUP BY user_id, run_id
-      )
-    ) WHERE rk <= 3
+            SELECT user_id, event_type,
+                   CAST(sum(boundary) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS run_id
+            FROM (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN event_type IS DISTINCT FROM
+                               lag(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            )
+          ) GROUP BY user_id, run_id
+        )
+      ) WHERE rk <= 3
+    ) t
+    JOIN (SELECT event_type, count(*) AS type_total
+          FROM events GROUP BY event_type) h
+      ON t.event_type = h.event_type
     """,
     doc="compute_separators top-k: keep the maxseps longest candidate "
-        "separators per page (ocropus-gpageseg:177-186 + select_regions)",
+        "separators per page (ocropus-gpageseg:177-186 + select_regions). "
+        "O6 chist (ocrolib/common.py:471-478) is FOLDED in: each top run "
+        "carries its event_type and the corpus-wide histogram count of "
+        "that type (type_total), joined broadcast — the oracle checks "
+        "the histogram aggregate per row",
 )
 def g6_top_separator_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dup_ocropy_spark.operators.relational import _run_label_df
 
-    runs = (_run_label_df(spark, sf_dir)
-            .groupBy("user_id", "run_id").agg(F.count("*").alias("n_events")))
+    labeled = _run_label_df(spark, sf_dir)
+    runs = (labeled.groupBy("user_id", "run_id")
+            .agg(F.count("*").alias("n_events"),
+                 # constant within a run by construction; min() for a
+                 # deterministic aggregate the optimizer can push
+                 F.min("event_type").alias("event_type")))
     rk = F.row_number().over(W.partitionBy("user_id")
                              .orderBy(F.desc("n_events"), "run_id"))
-    return (runs.select("user_id", "run_id", "n_events", rk.alias("rk"))
-            .where(F.col("rk") <= 3).drop("rk"))
+    top = (runs.select("user_id", "run_id", "n_events", "event_type",
+                       rk.alias("rk"))
+           .where(F.col("rk") <= 3).drop("rk"))
+    # histogram straight off the scan (labeled would drag the run-label
+    # window into a plain groupBy)
+    chist = (table(spark, sf_dir, "events").groupBy("event_type")
+             .agg(F.count("*").alias("type_total")))
+    # event_type cardinality is tiny at any corpus scale: broadcast
+    return top.join(F.broadcast(chist), "event_type") \
+              .select("user_id", "run_id", "n_events", "event_type", "type_total")
 
 
 # Probe appended to every doc before normalization so the driver twin

@@ -27,13 +27,25 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _l2norm(col):
+    """round(sqrt(sum x^2), 4) over an array<float> column, JVM-side."""
+    return F.round(F.sqrt(F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))), 4)
+
+
+# DuckDB twin of _l2norm, interpolated into the oracle below.
+_NORM_SQL = "round(sqrt(list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * x))), 4)"
+
+
 @register(
     "ann_cosine_topk",
     sql=f"""
-    SELECT query_id, vec_id, cos FROM (
+    SELECT query_id, vec_id, cos, v_l2norm, dim FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                           CAST(v.embedding AS DOUBLE[])), 4) AS cos,
+             {_NORM_SQL.format(col="v.embedding")} AS v_l2norm,
+             len(v.embedding) AS dim,
              row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -45,23 +57,27 @@ def _cosine(a, b):
     ) WHERE rk <= {TOP_K}
     """,
     doc="brute-force cosine top-k: broadcast queries x scan corpus; the "
-        "exact baseline for ANN",
+        "exact baseline for ANN. embed_norms is FOLDED in (registry "
+        "folding policy, PLANS.md): each hit row carries the corpus "
+        "vector's L2 norm (the rerank's denominator) + dim, so the "
+        "oracle still checks the norm aggregate per row",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(table(spark, sf_dir, "embeddings"))
+    return cosine_topk(table(spark, sf_dir, "embeddings"), with_norms=True)
 
 
 def cosine_topk(e: DataFrame, n_queries: int = N_QUERIES,
-                top_k: int = TOP_K) -> DataFrame:
+                top_k: int = TOP_K, with_norms: bool = False) -> DataFrame:
     q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")))
     j = F.broadcast(q).crossJoin(e.select("vec_id", "embedding"))
     j = j.where(F.col("query_id") != F.col("vec_id"))
     cos = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
-    scored = j.select("query_id", "vec_id", cos.alias("cos"))
+    extra = ([_l2norm(F.col("embedding")).alias("v_l2norm"),
+              F.size("embedding").alias("dim")] if with_norms else [])
+    scored = j.select("query_id", "vec_id", cos.alias("cos"), *extra)
     rk = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id"))
-    return scored.select("query_id", "vec_id", "cos", rk.alias("rk")) \
-                 .where(F.col("rk") <= top_k).drop("rk")
+    return scored.withColumn("rk", rk).where(F.col("rk") <= top_k).drop("rk")
 
 
 # ---------------------------------------------------------------------------
@@ -302,20 +318,53 @@ def embedding_neardup_pairs(e: DataFrame, threshold: float = 0.9,
             .distinct())  # a pair may co-occur in up to m_assign cells
 
 
+# embed_norms is registered inside ann_cosine_topk (v_l2norm/dim columns)
+# — the norms are the cosine rerank's denominators, so the folded oracle
+# still checks the aggregate per hit row. The freed driver slot went to
+# dedup_semantic_topk below (registry folding policy, PLANS.md).
+
+
 @register(
-    "embed_norms",
-    sql="""
-    SELECT vec_id,
-           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4)
-             AS l2norm,
-           len(embedding) AS dim
-    FROM embeddings
-    """,
-    doc="embedding L2 norms: JVM aggregate over array<float>",
+    "dedup_semantic_topk",
+    sql=None,
+    doc="SemDeDup-shaped semantic near-dup, bucketed: IVF quantizer "
+        "(seeded k-means on a bounded hash-ordered sample), every vector "
+        "soft-assigned to its 2 nearest cells (pure-JVM dots), pair join "
+        "runs PER CELL — never all-pairs — then global top-25 nearest "
+        "pairs by exact cosine with the (doc_a, doc_b) tie-break. Top-k "
+        "rather than a threshold cut so the driver always checks real "
+        "pairs (the random driver corpus has zero pairs at cos>=0.8, and "
+        "two engines agreeing on 0 rows verifies nothing). Non-SQL "
+        "(iterative quantizer); candidate recall vs the exact "
+        "dedup_embedding_cosine twin is gated in tests.",
 )
-def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return e.select("vec_id", F.round(norm, 4).alias("l2norm"),
-                    F.size("embedding").alias("dim"))
+def dedup_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_topk_pairs(table(spark, sf_dir, "embeddings"))
+
+
+def semantic_topk_pairs(e: DataFrame, m_assign: int = 2, k: int = IVF_K,
+                        top_n: int = 25) -> DataFrame:
+    """Top-``top_n`` nearest pairs among IVF-cell-local candidates: the
+    driver-visible face of ``embedding_neardup_pairs`` (same quantizer,
+    same soft assignment, same cell-local join), with the thresholded
+    emit replaced by a global TakeOrderedAndProject so the output is
+    non-empty on corpora with no true near-dups.
+
+    Cells are recomputed for each join side instead of persisted — two
+    codegen passes of centroid dots beat holding executor-memory
+    residency for a one-shot query (the persisting variant is
+    ``embedding_neardup_pairs``, whose caller owns the release)."""
+    C = ivf_train_centroids(e, k=k)
+    assigned = ivf_assign_multi(e, C, m_assign)
+    a = assigned.select("cell", F.col("vec_id").alias("doc_a"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select("cell", F.col("vec_id").alias("doc_b"),
+                        F.col("embedding").alias("eb"))
+    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    return (a.join(b, ["cell"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", cos.alias("cos"))
+            # a pair may co-occur in up to m_assign cells with the SAME
+            # cos: dedup before ranking or top-k emits duplicate rows
+            .dropDuplicates(["doc_a", "doc_b"])
+            .orderBy(F.desc("cos"), "doc_a", "doc_b").limit(top_n))

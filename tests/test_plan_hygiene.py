@@ -23,6 +23,7 @@ BOUNDED_HINTS = {
     "ann_lsh_topk",            # N_QUERIES x N_TABLES rows
     "ann_ivf_topk",            # N_QUERIES x nprobe rows
     "dedup_embedding_cosine",  # vec_id < 100 literal bound
+    "g6_top_separator_runs",   # event_type histogram (tiny cardinality)
 }
 
 

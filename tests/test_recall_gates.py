@@ -246,3 +246,39 @@ def test_embedding_neardup_pairs_recall_vs_exact(spark, ann_dir):
         e.select(F.col("vec_id").alias("doc_id")),
         got_pdf.pipe(spark.createDataFrame)).toPandas()
     assert clusters.keep.sum() < len(clusters)  # planted dups collapsed
+
+
+def test_semantic_topk_pairs_recall_vs_exact_top25(spark, ann_dir):
+    """Driver-registered top-k face of the cell-bucketed semantic path
+    (dedup_semantic_topk): its 25 pairs must recall >=0.9 of the EXACT
+    global top-25 (the fixture plants ~30 high-cosine pairs — query-
+    neighbor AND neighbor-neighbor — all intra-cluster, so the IVF cells
+    co-locate them), every emitted cosine must equal the exact all-pairs
+    value (precision 1.0 — cosines are computed exactly on candidates),
+    and a pair sharing 2 cells must not appear twice."""
+    from pyspark.sql import functions as F
+
+    from dup_ocropy_spark.operators.similarity import _cosine, semantic_topk_pairs
+
+    e = spark.read.parquet(f"{ann_dir}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    exact = (a.join(b, F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
+             .toPandas())
+    truth_cos = {(r.doc_a, r.doc_b): r.cos for r in exact.itertuples(index=False)}
+    top25 = set(map(tuple, exact.sort_values(
+        ["cos", "doc_a", "doc_b"], ascending=[False, True, True])
+        .head(25)[["doc_a", "doc_b"]].to_numpy()))
+    assert min(truth_cos[p] for p in top25) >= 0.8, \
+        "fixture must plant enough high-cosine pairs to fill the top-25"
+
+    got = semantic_topk_pairs(e).toPandas()
+    assert len(got) == 25
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
+    assert len(pairs) == 25, "duplicate pair rows from multi-cell co-occurrence"
+    recall = len(pairs & top25) / 25
+    assert recall >= 0.9, f"semantic top-25 recall {recall:.2f} < 0.9"
+    for r in got.itertuples(index=False):
+        assert truth_cos[(r.doc_a, r.doc_b)] == r.cos
