@@ -183,6 +183,16 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
         # would leave growing for the whole suite)
         release_shared()
 
+    # round-5 registry additions, tracked per-round but OUTSIDE
+    # suite_core (the stable round-2 comparison series): paragraph-tile
+    # exact dedup and the IVF-bucketed semantic top-k
+    for name in ("dedup_paragraphs", "dedup_semantic_topk"):
+        samples = [timed_noop(REGISTRY[name].spark(spark, sf_dir))
+                   for _ in range(3)]
+        queries[name] = round(min(samples), 3)
+        spread[name] = _spread(samples)
+        release_shared()
+
     # two-phase dedup wall: phase-1 signature materialization (parquet)
     # + phase-2 pair join from the re-read table — the 100TB job pattern
     # (jobs/dedup_job.py --two-phase); compare with dedup_minhash_lsh,
