@@ -9,6 +9,7 @@ the same banding pattern as MinHash dedup.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from dup_ocropy_spark.operators.registry import register, table
@@ -269,52 +270,113 @@ def ivf_topk_of(e: DataFrame, nprobe: int = IVF_NPROBE,
 
 def ivf_assign_multi(emb: DataFrame, centroids: np.ndarray,
                      m: int = 2) -> DataFrame:
-    """(vec_id, embedding, cell) with each vector fanned out to its m
+    """(vec_id, embedding, nrm, cell) with each vector fanned out to its m
     NEAREST cells (soft assignment). Near-identical vectors have
     near-identical centroid dots, so a near-dup pair split across a cell
     boundary still shares at least one of its top-m cells with high
-    probability — the standard boundary fix for cell-bucketed pairing."""
-    dots = _cell_dots(centroids)
-    topm = F.slice(F.transform(
-        F.array_sort(F.zip_with(dots,
-                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                                lambda d, i: F.struct((-d).alias("negd"),
-                                                      i.alias("cell")))),
-        lambda s: s["cell"]), 1, m)
-    return emb.select("vec_id", "embedding",
-                      F.explode(topm.cast("array<int>")).alias("cell"))
+    probability — the standard boundary fix for cell-bucketed pairing.
+    ``nrm`` is the unrounded L2 norm, computed once per vector for the
+    pair stage's cosine denominators.
+
+    One Arrow-batched mapInPandas (X @ C.T per batch, stable argsort so
+    a dot tie picks the smaller cell id), not a JVM expression: k
+    centroids as literal-array aggregates means k*dim interpreted HOF
+    ops per row PLUS a k*dim-literal expression tree that analysis and
+    interpreted eval both chew on — measured ~1.1 s for 2k vectors at
+    k=44 vs milliseconds for the batched matmul. HOFs never enter
+    whole-stage codegen, so the JVM form's cost scales with k while the
+    Arrow form amortizes to one gemm per batch."""
+    m_top = m
+    ct = centroids.T.copy()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            nrm = np.sqrt((X * X).sum(axis=1))
+            order = np.argsort(-(X @ ct), axis=1, kind="stable")[:, :m_top]
+            out = pdf.loc[pdf.index.repeat(m_top),
+                          ["vec_id", "embedding"]].reset_index(drop=True)
+            out["nrm"] = np.repeat(nrm, m_top)
+            out["cell"] = order.reshape(-1).astype("int32")
+            yield out
+
+    fields = {f.name: f.dataType.simpleString() for f in emb.schema.fields}
+    schema = (f"vec_id {fields['vec_id']}, embedding {fields['embedding']}, "
+              "nrm double, cell int")
+    return emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+
+
+def _ivf_cell_count(n_vecs: int, k: int | None) -> int:
+    """Cell count for the pair-bucketing paths: explicit ``k`` wins;
+    default scales as sqrt(n) (the SemDeDup regime — per-cell candidate
+    count stays ~sqrt(n), so the per-cell pair work is ~n total instead
+    of n^2/k with a fixed k; at 1e9 vectors that is ~32k cells, each a
+    small local matmul)."""
+    return k if k is not None else max(IVF_K, int(np.sqrt(n_vecs)))
+
+
+def _cell_pairs(assigned: DataFrame, threshold: float | None) -> DataFrame:
+    """All (doc_a < doc_b, cos) pairs WITHIN each cell: one shuffle on
+    cell id, then one vectorized X @ X.T per cell group (applyInPandas —
+    the literal SemDeDup within-cluster similarity matmul). With
+    sqrt(n) cells the expected group is ~sqrt(n) rows, so per-group work
+    is ~n and total pair volume ~n * m^2. ``threshold`` filters inside
+    the kernel so only true near-dup rows leave the Python worker.
+
+    Trade-off vs a cell equi-join: a join's skewed cell is
+    AQE-splittable, while a pathological quantizer cell here becomes one
+    straggler task — accepted because the quantizer is trained on the
+    corpus itself (cells are balanced by construction) and the join form
+    pays k*dim interpreted HOF ops per candidate pair (measured 3-4x the
+    whole query's wall at sf0.1)."""
+    id_t = dict((f.name, f.dataType.simpleString())
+                for f in assigned.schema.fields)["vec_id"]
+
+    def pairs(_, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos": []})
+        X = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"]])
+        nr = pdf["nrm"].to_numpy()
+        cos = np.round((X @ X.T) / np.outer(nr, nr), 4)
+        iu, ju = np.triu_indices(n, k=1)
+        ids = pdf["vec_id"].to_numpy()
+        out = pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju],
+                            "cos": cos[iu, ju]})
+        if threshold is not None:
+            out = out[out["cos"] >= threshold]
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(
+        pairs, f"doc_a {id_t}, doc_b {id_t}, cos double")
 
 
 def embedding_neardup_pairs(e: DataFrame, threshold: float = 0.9,
-                            m_assign: int = 2, k: int = IVF_K) -> DataFrame:
+                            m_assign: int = 2, k: int | None = None) -> DataFrame:
     """Corpus-scale semantic near-dup PAIRS: (doc_a, doc_b, cos >=
     threshold) via IVF cell-local joins — the bucketed path that replaces
     ``dedup_embedding_cosine``'s exact all-pairs baseline at scale
     (SemDeDup-style: Abbas et al. 2023 dedup within k-means clusters).
 
     Shape: quantizer trained on a seeded bounded sample; every vector
-    soft-assigned to its ``m_assign`` nearest cells (pure JVM dots); the
-    pair join runs per cell (equi-join on cell id, AQE splits a skewed
-    cell), never across the whole corpus. Every emitted pair's cosine is
-    computed exactly, so precision is 1.0 by construction; recall is
-    gated in tests (a near-dup pair is missed only when the two vectors
-    share none of their top-m cells). Feeds ``dedup.dedup_clusters`` for
-    transitive closure like the text-based pair sources."""
-    from dup_ocropy_spark.plans.cache import persist_shared
-
+    soft-assigned to its ``m_assign`` nearest cells (one Arrow-batched
+    matmul); sqrt(n) cells by default so per-cell candidate sets stay
+    ~sqrt(n); the pair stage is one shuffle on cell id + one vectorized
+    X @ X.T per cell (``_cell_pairs``), never across the whole corpus,
+    with the threshold applied inside the kernel so only near-dup rows
+    leave the worker. Every emitted pair's cosine is computed exactly,
+    so precision is 1.0 by construction; recall is gated in tests (a
+    near-dup pair is missed only when the two vectors share none of
+    their top-m cells). Feeds ``dedup.dedup_clusters`` for transitive
+    closure like the text-based pair sources."""
+    k = _ivf_cell_count(e.count(), k)
     C = ivf_train_centroids(e, k=k)
-    assigned = persist_shared(ivf_assign_multi(e, C, m_assign))
-    a = assigned.select(F.col("cell"),
-                        F.col("vec_id").alias("doc_a"),
-                        F.col("embedding").alias("ea"))
-    b = assigned.select(F.col("cell"),
-                        F.col("vec_id").alias("doc_b"),
-                        F.col("embedding").alias("eb"))
-    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
-    return (a.join(b, ["cell"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", cos.alias("cos"))
-            .where(F.col("cos") >= threshold)
+    return (_cell_pairs(ivf_assign_multi(e, C, m_assign), threshold=threshold)
             .distinct())  # a pair may co-occur in up to m_assign cells
 
 
@@ -342,28 +404,23 @@ def dedup_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_topk_pairs(table(spark, sf_dir, "embeddings"))
 
 
-def semantic_topk_pairs(e: DataFrame, m_assign: int = 2, k: int = IVF_K,
-                        top_n: int = 25) -> DataFrame:
+def semantic_topk_pairs(e: DataFrame, m_assign: int = 2,
+                        k: int | None = None, top_n: int = 25) -> DataFrame:
     """Top-``top_n`` nearest pairs among IVF-cell-local candidates: the
     driver-visible face of ``embedding_neardup_pairs`` (same quantizer,
     same soft assignment, same cell-local join), with the thresholded
     emit replaced by a global TakeOrderedAndProject so the output is
     non-empty on corpora with no true near-dups.
 
-    Cells are recomputed for each join side instead of persisted — two
-    codegen passes of centroid dots beat holding executor-memory
-    residency for a one-shot query (the persisting variant is
-    ``embedding_neardup_pairs``, whose caller owns the release)."""
+    ``k=None`` scales the cell count as sqrt(n) (``_ivf_cell_count``),
+    keeping the per-cell pair join ~linear in corpus size. Cells are
+    recomputed for each join side instead of persisted — two codegen
+    passes of centroid dots beat holding executor-memory residency for a
+    one-shot query (the persisting variant is ``embedding_neardup_pairs``,
+    whose caller owns the release)."""
+    k = _ivf_cell_count(e.count(), k)
     C = ivf_train_centroids(e, k=k)
-    assigned = ivf_assign_multi(e, C, m_assign)
-    a = assigned.select("cell", F.col("vec_id").alias("doc_a"),
-                        F.col("embedding").alias("ea"))
-    b = assigned.select("cell", F.col("vec_id").alias("doc_b"),
-                        F.col("embedding").alias("eb"))
-    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
-    return (a.join(b, ["cell"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", cos.alias("cos"))
+    return (_cell_pairs(ivf_assign_multi(e, C, m_assign), threshold=None)
             # a pair may co-occur in up to m_assign cells with the SAME
             # cos: dedup before ranking or top-k emits duplicate rows
             .dropDuplicates(["doc_a", "doc_b"])
