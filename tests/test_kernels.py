@@ -269,3 +269,49 @@ def test_forced_boundary_at_slice_start_still_splits():
     # interior boundary unchanged; boundary at 0 / past end are no-ops
     blocks = segment_payload("abcdefghijkl", forced_boundaries=[0, 6, 99])
     assert [(b.visible) for b in blocks] == ["abcdef", "ghijkl"]
+
+
+def test_segment_fast_path_matches_assembler_path():
+    """r6 optimization guard: the inlined no-forced fast path
+    (_segment_html_fast/_segment_plain_fast) must produce byte-identical
+    blocks to the general assembler path. forced_boundaries=[0] is a
+    proven no-op boundary (interior filter drops it; the pre-flush guard
+    needs a non-empty pending run, impossible while _last_end==0), so it
+    routes the SAME payload through the assembler for comparison."""
+    import random
+
+    from dup_ocropy_spark.kernels.segment import segment_payload
+
+    cases = [
+        "", " ", "\n\n\n", "hello", "a<b>c</b>d", "<p>x</p><p>y</p>",
+        "<script>var x='<p>no</p>';</script>after",
+        "<style>p{}</style>text", "<!-- <p>comment</p> -->visible",
+        "<![CDATA[ <div>raw</div> ]]>tail",
+        "<a href='#'>link</a> plain", "<a href=http://x.com/>uq</a>",
+        "<a/>selfclose anchor text", "<nav>menu<p>item</p></nav>body",
+        "<footer><footer>double</footer>x</footer>y",
+        "pre\n\n\nmid\f\fpost", "----\ncontent\n====",
+        "a&amp;b<p>&lt;tag&gt;</p>", "text ____ more",
+        "<p>\n----\n</p>", "<h1>Head</h1>para",
+        "<select><option>a</option></select>rest",
+        "<SCRIPT>UP</SCRIPT>low", "<P>upper block</P>",
+        "<br/><hr/>between", "\fstart", "end\f", "  \f  ",
+        "cont\r\nwin\r\n\r\nnext", "<p title='a>b'>attr gt</p>",
+        "<p data-x=\"y'z\">mixquote</p>w", "-----", "&#65;&#66;",
+    ]
+    rng = random.Random(7)
+    toks = ["<p>", "</p>", "<div>", "</div>", "<a href='#'>", "</a>",
+            "<nav>", "</nav>", "<script>", "</script>", "text ", "&amp; ",
+            "\n\n", "\f", "----\n", "word", "<br/>", "<!--c-->", "  ",
+            "<h2>", "</h2>", "<a/>", "<P>", "</P>", "\t", "„q‟",
+            "<option>", "</option>", "<td>x</td>"]
+    for _ in range(500):
+        cases.append("".join(rng.choice(toks) for _ in range(rng.randint(1, 25))))
+
+    def key(blocks):
+        return [(b.start, b.end, b.visible, b.kind, b.link_chars,
+                 b.boiler, b.block_id) for b in blocks]
+
+    for p in cases:
+        assert key(segment_payload(p)) == \
+            key(segment_payload(p, forced_boundaries=[0])), repr(p[:120])
