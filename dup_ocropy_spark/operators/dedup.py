@@ -186,22 +186,32 @@ _SHINGLES_SQL = f"""
 
 
 def shingles_of(d: DataFrame) -> DataFrame:
-    """Distinct positional char shingles per doc (JVM-side: sequence +
-    explode + substring, no Python). Input: (doc_id, text).
+    """Positional char shingles per doc (JVM-side: sequence + explode +
+    substring, no Python). Input: (doc_id, text). May carry per-doc
+    duplicate shingles (two windows with equal text): the minhash
+    consumer is a per-doc ``min`` aggregate, identical over a multiset
+    and its set — so the former row-level ``.distinct()`` here was a
+    full exchange of every (doc_id, 20-char shingle) row paid for
+    nothing (r6: its removal drops one Exchange from every minhash
+    plan; map-side partial min-agg now collapses each scan partition to
+    one row per doc before the only shuffle). Set-semantics consumers
+    (Jaccard doc-frequency / overlap counts) apply ``.distinct()``
+    themselves in ``jaccard_filtered_shingles``.
 
     The final window position is always included: a bare stride sequence
     leaves up to stride-1 tail chars uncovered, so two docs differing
     only in the tail would compare as identical shingle sets (the stream
     gate hit this as real data loss; the batch estimate just lost
-    fidelity). The DuckDB twin unions the same tail window."""
+    fidelity). The DuckDB twin unions the same tail window. The
+    ``array_distinct`` below keeps POSITIONS unique (the tail position
+    can coincide with a stride point), not shingle values."""
     last = F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1))
     pos = F.explode(F.array_distinct(F.concat(
         F.sequence(F.lit(1), last, F.lit(SHINGLE_STRIDE)),
         F.array(last)))).alias("p")
     return (d.select("doc_id", "text", pos)
             .select("doc_id", F.substring(F.col("text"), F.col("p").cast("int"), SHINGLE_LEN)
-                    .alias("sh"))
-            .distinct())
+                    .alias("sh")))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,8 +249,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_filtered_shingles(docs: DataFrame) -> DataFrame:
     """Phase-1 artifact: (doc_id, sh) after the stop-shingle cap. The
     two-phase job materializes THIS as a parquet table; the in-memory path
-    persists it instead."""
-    sh = persist_shared(shingles_of(docs))
+    persists it instead. The ``.distinct()`` (set semantics: docfreq and
+    overlap counts are over per-doc shingle SETS, matching the DuckDB
+    twin's SELECT DISTINCT) lives here, not in ``shingles_of`` — the
+    minhash path needs no dedupe and skips that exchange entirely."""
+    sh = persist_shared(shingles_of(docs).distinct())
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("docfreq"))
     return (sh.join(df_counts.where(F.col("docfreq") <= MAX_SHINGLE_DF), "sh")
             .select("doc_id", "sh"))
@@ -364,12 +377,18 @@ def _token_hash64(token: str) -> int:
 
 def _simhash_batch(batches):
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    bitpos = np.arange(64, dtype=np.uint64)
     for pdf in batches:
         out_ids: list = []
-        out_hashes: list[int] = []
-        # hash each distinct token ONCE per batch (corpus vocabulary is tiny
-        # relative to token count; per-occurrence blake2b dominated profiles)
-        token_cache: dict[str, int] = {}
+        doc_token_idx: list[np.ndarray] = []
+        # hash AND bit-decompose each distinct token ONCE per batch (corpus
+        # vocabulary is tiny relative to token count; the old per-doc
+        # ``hv[:, None] >> arange(64)`` rebuilt the +-1 bit matrix for
+        # every occurrence — r6: decompose only the unique-token rows,
+        # then per doc it is one fancy-index + integer column sum, exact
+        # by construction)
+        token_index: dict[str, int] = {}
+        hashes: list[int] = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             # null/blank docs emit NO signature (see simhash_signatures:
             # any shared placeholder value pairs them all with each other)
@@ -378,17 +397,34 @@ def _simhash_batch(batches):
             tokens = text.lower().split()
             if not tokens:
                 continue
-            for t in tokens:
-                if t not in token_cache:
-                    token_cache[t] = _token_hash64(t)
-            hv = np.array([token_cache[t] for t in tokens], dtype=np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
+            idx = np.empty(len(tokens), dtype=np.int64)
+            get = token_index.get
+            for j, t in enumerate(tokens):
+                k = get(t)
+                if k is None:
+                    k = token_index[t] = len(hashes)
+                    hashes.append(_token_hash64(t))
+                idx[j] = k
             out_ids.append(doc_id)
-            out_hashes.append(int((powers[acc >= 0]).sum(dtype=np.uint64)))
+            doc_token_idx.append(idx)
+        if not out_ids:
+            yield pd.DataFrame({
+                "doc_id": out_ids,
+                "simhash": np.array([], dtype=np.uint64).view(np.int64),
+            })
+            continue
+        hv = np.array(hashes, dtype=np.uint64)
+        bits_pm = (2 * ((hv[:, None] >> bitpos) & np.uint64(1)).astype(np.int64)
+                   - 1)
+        signs = np.empty((len(out_ids), 64), dtype=bool)
+        for i, idx in enumerate(doc_token_idx):
+            signs[i] = bits_pm[idx].sum(axis=0) >= 0
+        # vectorized bit-pack: sum of selected powers per row, exact in
+        # uint64 (the true value is < 2^64)
+        packed = (signs.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
         yield pd.DataFrame({
             "doc_id": out_ids,
-            "simhash": np.array(out_hashes, dtype=np.uint64).view(np.int64),
+            "simhash": packed.view(np.int64),
         })
 
 

@@ -632,8 +632,15 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .join(c, o.o_custkey == c.c_custkey))
+    # join order (r6): orders x filtered-customer FIRST — the selective
+    # c_mktsegment filter shrinks orders ~5x before the fact table joins,
+    # so the big lineitem exchange carries only matching orderkeys (and
+    # AQE can broadcast the reduced build side, dropping the lineitem
+    # shuffle entirely at bench scale). Inner joins commute: results
+    # identical, oracle SQL untouched. No forced broadcast — at 100 TB
+    # AQE falls back to SMJ on the same reduced side.
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey)
     agg = (j.groupBy("l_orderkey", "o_orderdate")
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                 .alias("revenue")))

@@ -573,7 +573,8 @@ def test_dedup_job_string_ids_all_methods(spark, tmp_path, capsys):
 def test_stream_job_snapshot_mode_two_publish_refresh(spark, tmp_path):
     """The documented snapshot-refresh OPERATIONAL CYCLE, job-tested:
     a batch publisher appends turn fingerprints to the fp table while
-    the stream job runs, and the job's foreachBatch refreshByPath makes
+    the stream job runs, and the job's per-batch fresh spark.read.parquet
+    of the fp table (inside foreachBatch) makes
     those fps gate the very next micro-batch — no restart. Publish 1
     seeds the table (turn A already ingested); the stream extracts only
     B from landing file 1. Publish 2 appends C's fp and THEN lands a
