@@ -103,13 +103,20 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
         total_chars = benchmark.agg(
             F.sum(F.length("text")).alias("c")).collect()[0]["c"] or 0
         broadcast = total_chars <= BENCH_BROADCAST_MAX_CHARS
+    from dup_ocropy_spark.operators.registry import spread_small_input
+
     bench_grams = (
         word_ngrams(benchmark.select(F.lit("b").alias("doc_id"), "text"), n,
                     hashed=True)
         .select("gram").distinct())
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
-    hits = (word_ngrams(docs.select("doc_id", "text"), n, hashed=True)
+    # spread the corpus scan: the per-row gram hashing (xxhash64 per word
+    # + per position) is the operator's whole cost and runs in the SCAN
+    # stage — a single-row-group corpus file would execute it on 1-2
+    # cores (identity at real scale, see spread_small_input)
+    hits = (word_ngrams(spread_small_input(docs).select("doc_id", "text"),
+                        n, hashed=True)
             .join(bench_grams, "gram")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     return (docs.select("doc_id").join(hits, "doc_id", "left")

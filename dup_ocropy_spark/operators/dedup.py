@@ -205,6 +205,9 @@ def shingles_of(d: DataFrame) -> DataFrame:
     fidelity). The DuckDB twin unions the same tail window. The
     ``array_distinct`` below keeps POSITIONS unique (the tail position
     can coincide with a stride point), not shingle values."""
+    from dup_ocropy_spark.operators.registry import spread_small_input
+
+    d = spread_small_input(d)
     last = F.greatest(F.length("text") - F.lit(SHINGLE_LEN - 1), F.lit(1))
     pos = F.explode(F.array_distinct(F.concat(
         F.sequence(F.lit(1), last, F.lit(SHINGLE_STRIDE)),
@@ -474,9 +477,9 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     # BEFORE mapInPandas parallelizes both; skipped when the scan already
     # has enough splits (the 100 TB case), where it would only add an
     # Exchange ahead of the fused kernel stage.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    from dup_ocropy_spark.operators.registry import spread_small_input
+
+    docs = spread_small_input(docs)
     return simhash_pairs_from(persist_shared(simhash_signatures(docs)))
 
 

@@ -55,6 +55,9 @@ def lm_scores(docs: DataFrame, table: np.ndarray,
     """Append ``lm_logprob`` (mean per-byte log-prob; higher = more
     prose-like). The table rides the task closure (~0.5 MB, the
     broadcast-weights pattern of the trained-classifier query)."""
+    from dup_ocropy_spark.operators.registry import spread_small_input
+
+    docs = spread_small_input(docs)
     L = np.ascontiguousarray(table, dtype=np.float32)
     cols = docs.columns
 
