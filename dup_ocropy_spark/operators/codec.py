@@ -45,8 +45,22 @@ def corpus_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count("*").alias("count")))
 
 
+# Vocabulary size under which the merge ROUNDS run on the driver via the
+# pinned-equal kernel instead of iterated Spark jobs. The corpus pass
+# (word counting) is always distributed; what this bounds is the
+# iterated STATE — 64k (word, count) rows is a few MB, far under every
+# bounded-reducer cap in this repo (the IVF sample, the scan-window
+# collect), while 13 rounds of Spark jobs on a 31-word vocabulary were
+# ~0.4 s of pure scheduler latency each (r6 measurement: 8.8 s -> ~1.6 s
+# at sf1.0). A real 10^8-distinct-word corpus stays on the distributed
+# rounds, whose O(rounds/K) wall the r5 series pinned.
+BPE_DRIVER_VOCAB_MAX = 65_536
+
+
 def train_bpe(docs: DataFrame, n_merges: int = 64,
-              text_col: str = "text", batch: int = 8) -> list[tuple[str, str]]:
+              text_col: str = "text", batch: int = 8,
+              driver_vocab_max: int = BPE_DRIVER_VOCAB_MAX
+              ) -> list[tuple[str, str]]:
     """-> the merge list (the codec artifact, driver-sized: 2 strings per
     merge). See module docstring for the per-round plan shape.
 
@@ -56,8 +70,20 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     32k-merge codec costs ~n_merges/batch jobs instead of one scheduler
     round-trip per merge. Bit-equal to ``bpe.bpe_merges_batched`` for the
     same (corpus, n_merges, batch); ``batch=1`` reproduces the sequential
-    ``bpe.bpe_merges`` exactly (both test-pinned)."""
-    state = corpus_word_counts(docs, text_col)
+    ``bpe.bpe_merges`` exactly (both test-pinned).
+
+    When the distinct-word table fits ``driver_vocab_max`` (bounded
+    collect), the rounds run through ``bpe.bpe_merges_batched`` directly —
+    the SAME merges by the pinned equality contract, with zero per-round
+    scheduler latency; pass ``driver_vocab_max=0`` to force the
+    distributed rounds (tests do, so both paths stay covered)."""
+    wc = corpus_word_counts(docs, text_col).persist()
+    n_words = wc.count()
+    if n_words <= driver_vocab_max:
+        rows = wc.collect()
+        wc.unpersist()
+        return bpe.bpe_merges_batched(
+            {r["word"]: r["count"] for r in rows}, n_merges, k=batch)
 
     def symbolize(batches):
         for pdf in batches:
@@ -66,7 +92,7 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
                 "count": pdf["count"],
             })
 
-    state = state.mapInPandas(
+    state = wc.mapInPandas(
         symbolize, schema="syms array<string>, count long").persist()
     # Right-size the ITERATED state: the distinct-word table is tiny
     # relative to the corpus (31 words at sf0.1 synth; ~10^8 at 100 TB)
@@ -77,7 +103,8 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     # anyway); coalesce reads the cached blocks, no shuffle. ~256k
     # words/partition keeps rounds narrow until the table genuinely
     # needs width.
-    n_words = state.count()
+    state.count()
+    wc.unpersist()
     parts = max(1, -(-n_words // 262_144))
     if parts < state.rdd.getNumPartitions():
         # persist the COALESCED frame and free the wide parent: rebinding

@@ -423,7 +423,8 @@ def _ivf_cell_count(n_vecs: int, k: int | None) -> int:
     return k if k is not None else max(IVF_K, int(np.sqrt(n_vecs)))
 
 
-def _cell_pairs(assigned: DataFrame, threshold: float | None) -> DataFrame:
+def _cell_pairs(assigned: DataFrame, threshold: float | None,
+                local_top: int | None = None) -> DataFrame:
     """All (doc_a < doc_b, cos) pairs WITHIN each cell: one shuffle on
     cell id, then one vectorized X @ X.T per cell group (applyInPandas —
     the literal SemDeDup within-cluster similarity matmul). With
@@ -458,6 +459,22 @@ def _cell_pairs(assigned: DataFrame, threshold: float | None) -> DataFrame:
             # the HALF_UP-rounded value below; the margin keeps every row
             # that could still round up across the threshold
             out = out[out["cos"] >= threshold - 1e-4]
+        if local_top is not None and len(out) > local_top:
+            # per-cell top-k prune BY VALUE, ties kept (r6): a global
+            # top-``local_top`` pair must rank within its own cell's top
+            # ``local_top`` BY COS — pairs are unique within a cell, so a
+            # pair below the cell's local_top-th cos value has that many
+            # distinct pairs strictly above it globally too. The margin
+            # covers a full 4-dp rounding bucket (1e-4, plus FP slack):
+            # downstream ranking is on the JVM HALF_UP-rounded value, and
+            # a row under the unrounded cutoff can still TIE the cutoff
+            # rows after rounding (then win on the doc-id tie-break) — only
+            # rows a whole bucket below are provably outranked by
+            # local_top distinct pairs. Shrinks the rows leaving Python
+            # from O(cell^2) to ~local_top per cell; the exact global
+            # dedup + top-k runs downstream on that superset.
+            v = np.partition(out["cos"].to_numpy(), -local_top)[-local_top]
+            out = out[out["cos"] >= v - 1.5e-4]
         return out
 
     raw = assigned.groupBy("cell").applyInPandas(
@@ -539,7 +556,8 @@ def semantic_topk_pairs(e: DataFrame, m_assign: int = 2,
     whose caller owns the release)."""
     k = _ivf_cell_count(e.count(), k)
     C = ivf_train_centroids(e, k=k)
-    return (_cell_pairs(ivf_assign_multi(e, C, m_assign), threshold=None)
+    return (_cell_pairs(ivf_assign_multi(e, C, m_assign), threshold=None,
+                        local_top=top_n)
             # a pair may co-occur in up to m_assign cells with the SAME
             # cos: dedup before ranking or top-k emits duplicate rows
             .dropDuplicates(["doc_a", "doc_b"])

@@ -39,10 +39,11 @@ def test_distributed_matches_kernel_exactly(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
     want = bpe.bpe_merges(bpe.word_counts(CORPUS), 25)
-    got = train_bpe(docs, n_merges=25, batch=1)
+    got = train_bpe(docs, n_merges=25, batch=1, driver_vocab_max=0)
     assert got == want
     # and under a different partitioning
-    got2 = train_bpe(docs.repartition(7), n_merges=25, batch=1)
+    got2 = train_bpe(docs.repartition(7), n_merges=25, batch=1,
+                      driver_vocab_max=0)
     assert got2 == want
 
 
@@ -66,7 +67,8 @@ def test_distributed_batched_matches_batched_kernel(spark):
     wc = bpe.word_counts(CORPUS)
     for k in (2, 4, 8):
         want = bpe.bpe_merges_batched(wc, 24, k=k)
-        got = train_bpe(docs.repartition(5), n_merges=24, batch=k)
+        got = train_bpe(docs.repartition(5), n_merges=24, batch=k,
+                        driver_vocab_max=0)
         assert got == want, f"batch={k}"
     # batched greedy may exhaust disjoint repeating pairs earlier than
     # sequential on a tiny corpus — the list is shorter, never wrong
@@ -111,7 +113,8 @@ def test_word_segmentation_parity_on_exotic_whitespace(spark):
     assert bpe.split_words(corpus[1]) == ["new", "new", "newer", "new"]
     # end-to-end: identical merges on the exotic-whitespace corpus
     for k in (1, 4):
-        assert train_bpe(docs, n_merges=10, batch=k) == \
+        assert train_bpe(docs, n_merges=10, batch=k,
+                         driver_vocab_max=0) == \
             bpe.bpe_merges_batched(bpe.word_counts(corpus), 10, k=k)
 
 
@@ -119,7 +122,7 @@ def test_distributed_early_stop_on_exhausted_pairs(spark):
     from dup_ocropy_spark.operators.codec import train_bpe
 
     docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
-    got = train_bpe(docs, n_merges=50)   # no pair repeats -> no merges
+    got = train_bpe(docs, n_merges=50, driver_vocab_max=0)  # no pair repeats
     assert got == []
 
 
@@ -137,3 +140,20 @@ def test_bpe_token_counts_match_kernel(spark):
     # merged codec yields fewer tokens than raw chars, at least one per word
     for i, t in enumerate(CORPUS):
         assert len(t.split()) <= got[i] < sum(len(w) for w in t.split())
+
+
+def test_driver_vocab_path_equals_distributed_rounds(spark):
+    """r6: under BPE_DRIVER_VOCAB_MAX the merge rounds run through the
+    kernel on the collected word table — the merge list must equal the
+    distributed rounds' bit-for-bit (the pinned equality contract makes
+    this transitive, but pin it directly so the threshold can never
+    silently fork behavior)."""
+    from dup_ocropy_spark.operators.codec import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    for k in (1, 4, 8):
+        via_driver = train_bpe(docs, n_merges=24, batch=k)  # default path
+        via_rounds = train_bpe(docs, n_merges=24, batch=k, driver_vocab_max=0)
+        assert via_driver == via_rounds == bpe.bpe_merges_batched(
+            bpe.word_counts(CORPUS), 24, k=k), f"batch={k}"
