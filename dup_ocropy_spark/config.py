@@ -45,10 +45,13 @@ class ExtractConfig:
     # Spark-side knobs
     salt_buckets: int = 64           # salted repartition buckets (north_rule skew)
     # Arrow batch row cap: measured optimum for ~KB-sized payloads
-    # (71.6k turns/s at 2048 vs 50.1k at 512 on local[32]); lower it for
+    # (r2: 71.6k turns/s at 2048 vs 50.1k at 512; r6 re-sweep after the
+    # kernel speedup moved the knee — 4096 edges 2048 at sf1.0, 42.6 s
+    # vs 43.3 s min-of-3, and 16384 regresses); lower it for
     # fat-payload tables — the worst-case batch footprint is
-    # rows x max_payload_chars (2048 x 1MB = 2GB), so size to executor RAM
-    arrow_batch_rows: int = 2048
+    # rows x max_payload_chars (4096 x 1MB = 4GB), so size to executor
+    # RAM via arrow_batch_rows_for
+    arrow_batch_rows: int = 4096
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -35,6 +35,16 @@ def get_spark(master: str | None = None, app_name: str = "dup_ocropy_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows or DEFAULT_CONFIG.arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # scan-parallelism floor (r6, guide §6.1): aim for >=4 task waves
+        # per scan instead of exactly one — split planning targets
+        # defaultParallelism splits by default, so a one-wave stage's
+        # wall is its slowest task (guide §2.6). A 4x floor amortizes
+        # task-length variance; at real scale every table yields far
+        # more splits than the floor, so it is inert there. Row-group
+        # granularity still caps effective parallelism per FILE (a
+        # single-row-group file never splits) — the bench generator
+        # writes 4x-core file counts for the same reason.
+        .config("spark.sql.files.minPartitionNum", str(4 * shuffle_partitions))
         # join strategy (r6, guide §3.1): let the planner pick shuffled-
         # hash over sort-merge when its size conditions hold, and let AQE
         # convert SMJ->SHJ at runtime when every post-shuffle partition's

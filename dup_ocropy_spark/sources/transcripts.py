@@ -304,5 +304,14 @@ def write_transcripts(spark, path: str, n_convs: int, hot_every: int = 0,
 
     df = synth_transcripts(spark, n_convs, hot_every, hot_turns)
     if shuffle_on_disk:
-        df = df.repartition(F.xxhash64("conv_id", "turn_idx"))
+        # file-count = task-count for the single-wave readers downstream
+        # (each file is one row group): the old default (shuffle width =
+        # core count) gave the extraction bench exactly ONE wave of
+        # tasks, so the slowest task set the wall (guide §2.6 straggler
+        # tail). 4 waves amortize task-length variance; the floor keeps
+        # small corpora at core-width, and ~5k convs (~65k turns) per
+        # file keeps files well clear of small-file pathology.
+        par = spark.sparkContext.defaultParallelism
+        n_parts = max(par, min(4 * par, n_convs // 5000))
+        df = df.repartition(n_parts, F.xxhash64("conv_id", "turn_idx"))
     df.write.mode("overwrite").parquet(path)
