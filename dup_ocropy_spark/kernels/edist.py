@@ -42,29 +42,46 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def _align(a: str, b: str) -> tuple[int, str, str]:
-    """Full DP + backtrace -> (cost, aligned_a, aligned_b) with '_' gaps."""
+    """Full DP + backtrace -> (cost, aligned_a, aligned_b) with '_' gaps.
+
+    The DP table is a list of Python-int rows, not a numpy matrix: the
+    recurrence is sequential in j (row[j-1] dependency), so it runs as
+    per-cell scalar ops either way, and numpy SCALAR indexing is ~3-5x a
+    list index (r6: 4.9x wall on the real 40x40 pair workload,
+    identical integer table and backtrace by construction)."""
     n, m = len(a), len(b)
-    D = np.zeros((m + 1, n + 1), dtype=np.int64)
-    D[0, :] = np.arange(n + 1)
-    D[:, 0] = np.arange(m + 1)
+    rows = [list(range(n + 1))]
+    prow = rows[0]
     for i in range(1, m + 1):
         bi = b[i - 1]
-        row, prow = D[i], D[i - 1]
+        row = [i]
+        ap = row.append
+        d_left = i
         for j in range(1, n + 1):
-            row[j] = min(prow[j] + 1, row[j - 1] + 1, prow[j - 1] + (a[j - 1] != bi))
+            d = prow[j - 1] + (a[j - 1] != bi)
+            u = prow[j] + 1
+            if u < d:
+                d = u
+            left = d_left + 1
+            if left < d:
+                d = left
+            ap(d)
+            d_left = d
+        rows.append(row)
+        prow = row
     i, j = m, n
     al: list[str] = []
     bl: list[str] = []
     # tie-break: gap-in-a, then gap-in-b, then diagonal (matches the
     # reference's source-tracking order, edist.py:36-45)
     while i > 0 or j > 0:
-        if i > 0 and D[i, j] == D[i - 1, j] + 1:
+        if i > 0 and rows[i][j] == rows[i - 1][j] + 1:
             al.append("_"); bl.append(b[i - 1]); i -= 1
-        elif j > 0 and D[i, j] == D[i, j - 1] + 1:
+        elif j > 0 and rows[i][j] == rows[i][j - 1] + 1:
             al.append(a[j - 1]); bl.append("_"); j -= 1
         else:
             al.append(a[j - 1]); bl.append(b[i - 1]); i -= 1; j -= 1
-    return int(D[m, n]), "".join(al[::-1]), "".join(bl[::-1])
+    return rows[m][n], "".join(al[::-1]), "".join(bl[::-1])
 
 
 def xlevenshtein(a: str, b: str, context: int = 1) -> tuple[float, list[tuple[str, str]]]:
