@@ -247,8 +247,14 @@ def _segment_html_fast(payload: str) -> list[Block]:
             text = payload[pos:mstart]
             in_link = a_depth > 0
             boiler = bool(boiler_stack)
-            if "\n" in text or "\f" in text or lead_rule_match(text) is not None:
-                # separator-splitting path (_add_piece slow branch)
+            if "\n" in text or "\f" in text or (
+                    text[0] in "-=_* \t"
+                    and lead_rule_match(text) is not None):
+                # separator-splitting path (_add_piece slow branch);
+                # first-char guard: _LEAD_RULE_RE is [ \t]*[-=_*] anchored
+                # at the start, so it can only match when the run opens
+                # with rule/space chars — skips the regex for the common
+                # letter-initial run
                 last = 0
                 for mm in sep_finditer(text):
                     piece = text[last:mm.start()]
@@ -303,7 +309,9 @@ def _segment_html_fast(payload: str) -> list[Block]:
         text = payload[pos:]
         in_link = a_depth > 0
         boiler = bool(boiler_stack)
-        if "\n" in text or "\f" in text or lead_rule_match(text) is not None:
+        if "\n" in text or "\f" in text or (
+                text[0] in "-=_* \t"
+                and lead_rule_match(text) is not None):
             last = 0
             for mm in sep_finditer(text):
                 piece = text[last:mm.start()]
