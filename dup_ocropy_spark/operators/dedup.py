@@ -441,6 +441,9 @@ SIMHASH_HAMMING_MAX = 6
 _SIMHASH_BLOCKS = [(0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9)]
 assert len(_SIMHASH_BLOCKS) == SIMHASH_HAMMING_MAX + 1
 assert sum(w for _, w in _SIMHASH_BLOCKS) == 64
+# packed-key invariant (simhash_pairs_from): (index << 10) | bits is
+# collision-free only while every block is <= 10 bits wide
+assert max(w for _, w in _SIMHASH_BLOCKS) <= 10
 
 
 @register(
@@ -485,15 +488,21 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs_from(sig: DataFrame) -> DataFrame:
     """Phase 2: hamming<=6 pairs from a (doc_id, simhash) signature table
-    (persisted frame or re-read parquet)."""
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright(F.col("simhash"), off)
-                 .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+    (persisted frame or re-read parquet).
+
+    The (block index, block bits) pair is packed into ONE long join key,
+    ``(index << 10) | bits`` — collision-free because every block is
+    <= 10 bits wide (the width assert below the block table) — so the
+    self-join hashes/compares a single long instead of a two-column key
+    and the explode emits plain longs instead of structs (r6: 3.0 ->
+    1.5 s at sf1.0 on the pair phase, output identical)."""
+    keys = F.array(*[
+        (F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+         + F.lit(c << 10)).alias("k")
         for c, (off, w) in enumerate(_SIMHASH_BLOCKS)
     ])
-    ca = (sig.select("doc_id", "simhash", F.explode(chunks).alias("c"))
-          .select("doc_id", "simhash", "c.chunk", "c.ck").alias("ca"))
+    ca = sig.select("doc_id", "simhash", F.explode(keys).alias("bk")) \
+        .alias("ca")
     cb = ca.alias("cb")
     # hamming filter BEFORE the distinct: bit_count(xor) is a codegen
     # expression evaluated on the join output stream, so rows failing the
@@ -502,8 +511,7 @@ def simhash_pairs_from(sig: DataFrame) -> DataFrame:
     # collision (3.8M candidate rows -> ~60k at sf0.1; the hot-bucket
     # size^2 blowup all lands map-side).
     hamming = F.bit_count(F.col("ca.simhash").bitwiseXOR(F.col("cb.simhash")))
-    return (ca.join(cb, (F.col("ca.chunk") == F.col("cb.chunk"))
-                    & (F.col("ca.ck") == F.col("cb.ck"))
+    return (ca.join(cb, (F.col("ca.bk") == F.col("cb.bk"))
                     & (F.col("ca.doc_id") < F.col("cb.doc_id")))
             .where(hamming <= SIMHASH_HAMMING_MAX)
             .select(F.col("ca.doc_id").alias("doc_a"),
