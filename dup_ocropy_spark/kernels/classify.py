@@ -40,12 +40,9 @@ FEATURE_NAMES = (
 )
 
 
-# one-pass C-level character-class counters (regex-free hot path)
-_PUNCT_DELETE = str.maketrans("", "", ".,;:!?")
-_DIGIT_DELETE = str.maketrans("", "", "0123456789")
-# presence guards: most blocks contain no digits (and many no sentence
-# punctuation), so one C-level scan skips the translate-copy entirely
-_PUNCT_RE = _re.compile(r"[.,;:!?]")
+# digit presence guard: most blocks contain no digits, so one C-level
+# regex scan skips the ten per-digit count scans entirely (punct needs
+# no guard — six str.count memchr scans beat any guarded alternative)
 _DIGIT_RE = _re.compile(r"[0-9]")
 _HEADING_KINDS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6", "title"))
 
