@@ -101,14 +101,18 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return rng.standard_normal((N_TABLES, PLANES_PER_TABLE, dim))
 
 
-def embedding_dim(emb: DataFrame) -> int:
-    """Embedding width from one row (bounded: a single head() probe).
-    The former hardcoded dim=64 silently mis-bucketed any other width —
-    zip_with null-pads the shorter side, so every hyperplane dot went
-    null (VERDICT r5 minor)."""
-    row = emb.select(F.size("embedding").alias("d")).head()
+def embedding_dim(emb: DataFrame, default: int = 64) -> int:
+    """Embedding width from the first non-null row (bounded: a single
+    head() probe). The former hardcoded dim=64 silently mis-bucketed any
+    other width — zip_with null-pads the shorter side, so every
+    hyperplane dot went null (VERDICT r5 minor). An empty or all-null
+    table falls back to ``default`` so plan CONSTRUCTION stays graceful
+    (the query then returns 0 rows, the pre-r6 behavior) instead of
+    raising before any action runs."""
+    row = (emb.where(F.col("embedding").isNotNull())
+           .select(F.size("embedding").alias("d")).head())
     if row is None or row["d"] is None or row["d"] <= 0:
-        raise ValueError("cannot infer embedding dim: empty table or null embedding")
+        return default
     return int(row["d"])
 
 
@@ -221,6 +225,14 @@ def ivf_train_centroids(emb, dim: int | None = None, k: int = IVF_K,
             .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), "vec_id")
             .limit(sample).toPandas()["embedding"].tolist())
     X = np.asarray([np.asarray(r, dtype=float) for r in rows])
+    if len(X) < k:
+        # k <= sample here, so len(X) < k means the CORPUS has fewer
+        # than k vectors: the old silent min(k, n)-centroid cap is loud
+        # in both training regimes now (auto-derived k clamps to n in
+        # _ivf_cell_count and never trips this)
+        raise ValueError(
+            f"IVF k={k} exceeds corpus size {len(X)}: cannot train that "
+            f"many cells (pass an explicit smaller k)")
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -419,8 +431,12 @@ def _ivf_cell_count(n_vecs: int, k: int | None) -> int:
     default scales as sqrt(n) (the SemDeDup regime — per-cell candidate
     count stays ~sqrt(n), so the per-cell pair work is ~n total instead
     of n^2/k with a fixed k; at 1e9 vectors that is ~32k cells, each a
-    small local matmul)."""
-    return k if k is not None else max(IVF_K, int(np.sqrt(n_vecs)))
+    small local matmul), clamped to the corpus size so a degenerate
+    tiny corpus keeps working (the trainer is loud for k > n; an
+    auto-derived k must not trip that)."""
+    if k is not None:
+        return k
+    return max(1, min(n_vecs, max(IVF_K, int(np.sqrt(n_vecs)))))
 
 
 def _cell_pairs(assigned: DataFrame, threshold: float | None,

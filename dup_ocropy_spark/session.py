@@ -56,7 +56,8 @@ def get_spark(master: str | None = None, app_name: str = "dup_ocropy_spark",
         # runtime conversion, and SPARK_GRAFT_PREFER_SMJ=1 restores the
         # sort-merge default for clusters where that margin is tight.
         .config("spark.sql.join.preferSortMergeJoin",
-                "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false")
+                "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "")
+                .lower() not in ("", "0", "false", "no") else "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "256m"))
         .config("spark.ui.enabled", "false")

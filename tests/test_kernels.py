@@ -305,7 +305,7 @@ def test_segment_fast_path_matches_assembler_path():
             "\n\n", "\f", "----\n", "word", "<br/>", "<!--c-->", "  ",
             "<h2>", "</h2>", "<a/>", "<P>", "</P>", "\t", "„q‟",
             "<option>", "</option>", "<td>x</td>"]
-    for _ in range(500):
+    for _ in range(1000):
         cases.append("".join(rng.choice(toks) for _ in range(rng.randint(1, 25))))
 
     def key(blocks):
