@@ -401,14 +401,13 @@ def h2_paragraph_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ocropus-hocr:91-153); JVM-side only, no Python",
 )
 def h4_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dup_ocropy_spark.operators.registry import spread_small_input
-
-    # the partial collect_list (all 1M structs) runs in the scan stage —
-    # 4 native splits at sf1.0 left 28 cores idle for it. Safe to spread
-    # HERE: the aggregate is order-insensitive by construction
-    # (array_sort over structs with unique event_id = total order, count)
-    # — events-table queries with float sums (pivot) keep native splits.
-    e = spread_small_input(table(spark, sf_dir, "events"))
+    # NOT spread (r6, measured): collect_list's partial aggregation
+    # carries every input row, so a pre-exchange to widen the scan stage
+    # only adds a second full shuffle of the 1M structs — 0.96 s native
+    # vs 1.40 s spread at sf1.0. The narrow scan stage does nothing but
+    # project; the groupBy exchange already parallelizes the real work
+    # (per-user array_sort + join).
+    e = table(spark, sf_dir, "events")
     return (e.groupBy("user_id")
             .agg(F.array_join(
                     F.transform(
