@@ -95,3 +95,26 @@ def test_registered_query_is_not_vacuous(spark):
     assert (out.n_kept < out.n_units).any(), \
         "no units cut at sf0.001 — the dedup is a no-op on the driver corpus"
     assert out.n_units.sum() > out.n_kept.sum()
+
+
+def test_md5_oracle_parity_at_sf01(spark):
+    """VERDICT r5 item 6: the full md5 oracle checked on a ~5k-doc
+    corpus too (the toy fixtures pin keep-first/guard/tail semantics;
+    this pins multi-tile-boundary behavior at a scale where tiles
+    genuinely collide across partition boundaries). sf0.1 is the
+    smallest sf whose documents table exceeds the 500-row floor."""
+    import duckdb
+
+    from dup_ocropy_spark.operators.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(REGISTRY["dedup_paragraphs"].sql).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (REGISTRY["dedup_paragraphs"].spark(spark, sf_dir).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(want) and len(got) >= 4000
+    for c in ("doc_id", "n_units", "n_kept", "kept_md5"):
+        assert (got[c].astype(str) == want[c].astype(str)).all(), c
