@@ -58,13 +58,14 @@ DEFAULT_CONFIG = ExtractConfig()
 
 # Target Arrow batch footprint for the extraction stage. The worst-case
 # transfer cost of a batch is ~rows x max_payload_chars on each side of
-# the JVM<->Python boundary; 2048 rows is the measured optimum for ~KB
-# payloads but would mean multi-GB batches for MB rows. 16 MiB measured
+# the JVM<->Python boundary; the arrow_batch_rows default (4096 since
+# r6) is the measured optimum for ~KB payloads but would mean multi-GB
+# batches for MB rows. 16 MiB measured
 # best on the fat tier (~0.9 MB payloads, one 150 MB task): peak Python-
 # worker RSS 251 MB vs 530 MB at the 2048-row cap, wall 11.9 s vs 13.9 s
 # (smaller arenas + better pipelining); for ~KB payloads 16 MiB / 1 KB
-# clamps to the 2048-row default, so the tuned small-row behavior is
-# unchanged. Details: SCALE.md section 7.
+# clamps to the arrow_batch_rows default, so the tuned small-row
+# behavior is unchanged. Details: SCALE.md section 7.
 ARROW_BATCH_TARGET_BYTES = 16 << 20
 
 
